@@ -1,0 +1,94 @@
+"""yafaray-xml compatible CLI (reference src/xml_loader/yafaray_xml.cc).
+
+    python -m libyafaray_tpu.cli.yafaray_xml [options] scene.xml
+
+Flags mirror the reference CLI (SURVEY §2.13): output path/format, threads
+(accepted; parallelism is the device mesh here), verbosity, z-buffer,
+params badge.  Emits Mrays/s telemetry at the end (driver metric).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="yafaray-xml",
+        description="TPU-native renderer with libYafaRay scene compatibility",
+    )
+    ap.add_argument("input", help="scene XML file")
+    ap.add_argument("output", nargs="?", default=None,
+                    help="output image (default: <input>.png)")
+    ap.add_argument("-f", "--format", default=None,
+                    help="output format override (png/jpg/tga/tif/exr/hdr)")
+    ap.add_argument("-t", "--threads", type=int, default=-1,
+                    help="accepted for CLI parity (device count is used)")
+    ap.add_argument("-vl", "--verbosity", default="info",
+                    help="console verbosity: mute|error|warning|info|debug")
+    ap.add_argument("-z", "--z-channel", action="store_true",
+                    help="enable z-buffer pass")
+    ap.add_argument("--film", default=None,
+                    help="film save/load path for resume")
+    ap.add_argument("--json-stats", action="store_true",
+                    help="print one-line JSON render stats")
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    level = dict(mute=logging.CRITICAL, error=logging.ERROR,
+                 warning=logging.WARNING, info=logging.INFO,
+                 debug=logging.DEBUG).get(args.verbosity, logging.INFO)
+    logging.basicConfig(level=level,
+                        format="[%(levelname)s] %(message)s")
+    log = logging.getLogger("libyafaray_tpu")
+
+    from ..scene.xml_parser import parse_xml_file
+    from ..scene.session import render_scene
+    from ..io.image import save_image
+
+    t0 = time.perf_counter()
+    if not os.path.isfile(args.input):
+        print(f"yafaray-xml: error: scene file not found: {args.input}",
+              file=sys.stderr)
+        return 2
+    try:
+        scene = parse_xml_file(args.input)
+    except Exception as e:  # noqa: BLE001 - CLI boundary
+        print(f"yafaray-xml: error: cannot parse {args.input}: {e}",
+              file=sys.stderr)
+        return 2
+    if args.width:
+        scene.render_params["width"] = args.width
+    if args.height:
+        scene.render_params["height"] = args.height
+    if args.z_channel:
+        scene.render_params["z_channel"] = True
+
+    def progress(p, total):
+        log.info("pass %d/%d", p, total)
+
+    result = render_scene(scene, progress_cb=progress, film_path=args.film)
+
+    out = args.output or os.path.splitext(args.input)[0] + ".png"
+    if args.format:
+        out = os.path.splitext(out)[0] + "." + args.format.lstrip(".")
+    save_image(out, result.image,
+               color_space=result.cfg.color_space, gamma=result.cfg.gamma)
+    wall = time.perf_counter() - t0
+    log.info("wrote %s  [%.2fs total, %.1f Mrays/s]", out, wall,
+             result.mrays_per_sec)
+    if args.json_stats:
+        print(json.dumps(dict(
+            output=out, wall_s=wall, render_s=result.stats["render_s"],
+            rays=result.stats["rays"], mrays_per_sec=result.mrays_per_sec,
+        )))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

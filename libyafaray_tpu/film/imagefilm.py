@@ -1,0 +1,170 @@
+"""Image film — weighted accumulation, scatter-free splatting, adaptive AA.
+
+Reference: src/yafraycore/imagefilm.cc (SURVEY §2.11): per-pixel (ΣwC, Σw)
+accumulation, splatting reconstruction filters, adaptive AA passes driven by
+per-pixel noise detection, density buffer for SPPM, binary save/load for
+resume.
+
+TPU-native design (the key inversion vs the reference):
+  * the ray arena is PIXEL-ORDERED — each wavefront step carries exactly one
+    sample per pixel, so "splatting" a filter of radius R is (2R+1)² dense
+    shifted plane-adds (pad+slice), never a scatter and never a mutex;
+  * adaptive AA keeps shapes static: every pass samples every pixel lane but
+    multiplies contribution by the per-pixel resample flag (0/1) — the
+    estimator matches the reference exactly (unflagged pixels receive no
+    new samples); flagged-lane compaction is a later perf layer;
+  * sample-index continuation: per-pixel i32 sample counters feed the QMC
+    stream so added passes extend the low-discrepancy sequence (reference
+    `pixelSample + samplingOffs` semantics);
+  * film save/load = np.savez with a param-hash guard (reference binary
+    film autosave/resume, SURVEY §5.4).
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import jax.numpy as jnp
+
+from .filters import eval_filter_2d, filter_radius
+
+
+def film_init(h: int, w: int, with_density: bool = False) -> dict:
+    film = dict(
+        wsum=jnp.zeros((h, w, 3), jnp.float32),
+        w=jnp.zeros((h, w), jnp.float32),
+        nsamples=jnp.zeros((h, w), jnp.int32),
+        flags=jnp.ones((h, w), jnp.bool_),
+    )
+    if with_density:
+        film["density"] = jnp.zeros((h, w, 3), jnp.float32)
+    return film
+
+
+def _shift2d(a, oy: int, ox: int):
+    """Shift a (H,W,...) plane by static offsets, zero-filling."""
+    if oy == 0 and ox == 0:
+        return a
+    h, w = a.shape[0], a.shape[1]
+    pad_width = [(max(oy, 0), max(-oy, 0)), (max(ox, 0), max(-ox, 0))]
+    pad_width += [(0, 0)] * (a.ndim - 2)
+    padded = jnp.pad(a, pad_width)
+    return padded[max(-oy, 0):max(-oy, 0) + h, max(-ox, 0):max(-ox, 0) + w]
+
+
+def film_splat(film: dict, color, sx, sy, active,
+               filter_type: str, pixel_width: float,
+               clamp_samples: float = 0.0) -> dict:
+    """Accumulate one sample-per-pixel plane into the film.
+
+    color: (H,W,3) radiance of this pass-step's sample for each pixel.
+    sx, sy: (H,W) subpixel position in [0,1) of the sample inside its pixel.
+    active: (H,W) float 0/1 — adaptive-AA resample flag for this pass.
+    """
+    if clamp_samples > 0.0:
+        # reference AA_clamp_samples: clamp sample color magnitude
+        m = jnp.max(color, axis=-1, keepdims=True)
+        scale = jnp.where(m > clamp_samples, clamp_samples / jnp.maximum(m, 1e-9), 1.0)
+        color = color * scale
+
+    r = filter_radius(filter_type, pixel_width)
+    wsum = film["wsum"]
+    wacc = film["w"]
+    for oy in range(-r, r + 1):
+        for ox in range(-r, r + 1):
+            # distance from neighbor pixel center (o+0.5 in pixel units)
+            # to the sample at (sx, sy)
+            dx = ox + 0.5 - sx
+            dy = oy + 0.5 - sy
+            wgt = eval_filter_2d(filter_type, dx, dy, pixel_width) * active
+            # contribution of this pixel's sample onto pixel (p + o):
+            wsum = wsum + _shift2d(wgt[..., None] * color, oy, ox)
+            wacc = wacc + _shift2d(wgt, oy, ox)
+    out = dict(film)
+    out["wsum"] = wsum
+    out["w"] = wacc
+    out["nsamples"] = film["nsamples"] + active.astype(jnp.int32)
+    return out
+
+
+def film_image(film: dict) -> jnp.ndarray:
+    """Current weighted-mean image (H,W,3), linear RGB."""
+    img = film["wsum"] / jnp.maximum(film["w"], 1e-8)[..., None]
+    if "density" in film:
+        img = img + film["density"]
+    return img
+
+
+def compute_aa_flags(film: dict, threshold: float,
+                     dark_detection: str = "none",
+                     dark_factor: float = 1.0,
+                     detect_color_noise: bool = False) -> jnp.ndarray:
+    """Per-pixel resample flags for the next adaptive pass (reference
+    imagefilm AA noise detection, SURVEY App. B): flag when the max-channel
+    delta to any 4-neighbor exceeds the threshold; dark-detection variants
+    scale the threshold down in dark regions; flags are dilated one pixel
+    (the reference flags neighbors of noisy pixels too)."""
+    img = film_image(film)
+    thr = jnp.float32(threshold)
+    if dark_detection == "linear":
+        bri = jnp.mean(img, axis=-1)
+        thr = thr * jnp.clip(bri * dark_factor, 0.25, 1.0)
+    elif dark_detection == "curve":
+        bri = jnp.mean(img, axis=-1)
+        thr = thr * jnp.clip(jnp.sqrt(jnp.maximum(bri, 0.0)) * dark_factor,
+                             0.1, 1.0)
+
+    def delta(o):
+        d = jnp.abs(img - _shift2d(img, o[0], o[1]))
+        if detect_color_noise:
+            return jnp.max(d, axis=-1)
+        return jnp.mean(d, axis=-1)
+
+    flag = jnp.zeros(img.shape[:2], jnp.bool_)
+    for o in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+        flag = flag | (delta(o) > thr)
+    # dilate to neighbors
+    dil = flag
+    for o in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+        dil = dil | _shift2d(flag, o[0], o[1])
+    return dil
+
+
+def add_density(film: dict, contrib) -> dict:
+    """SPPM density layer accumulation (reference addDensitySample)."""
+    out = dict(film)
+    out["density"] = film.get("density", jnp.zeros_like(contrib)) + contrib
+    return out
+
+
+# ---------------------------------------------------------------------------
+# save / load for resume (reference binary film + autosave, SURVEY §5.4)
+# ---------------------------------------------------------------------------
+
+
+def film_param_hash(params: dict) -> str:
+    s = repr(sorted(params.items()))
+    return hashlib.sha256(s.encode()).hexdigest()[:16]
+
+
+def film_save(path: str, film: dict, params: dict, pass_idx: int):
+    arrays = {k: np.asarray(v) for k, v in film.items()}
+    np.savez_compressed(
+        path, __hash__=film_param_hash(params), __pass__=pass_idx, **arrays
+    )
+
+
+def film_load(path: str, params: dict):
+    """Returns (film, pass_idx) or None on hash mismatch / missing file."""
+    try:
+        data = np.load(path, allow_pickle=False)
+    except (FileNotFoundError, OSError):
+        return None
+    if str(data["__hash__"]) != film_param_hash(params):
+        return None
+    film = {
+        k: jnp.asarray(data[k])
+        for k in data.files
+        if not k.startswith("__")
+    }
+    return film, int(data["__pass__"])

@@ -1,0 +1,309 @@
+"""Photon-mapping integrator (reference src/integrators/photonintegr.cc —
+SURVEY §2.10/§3.4): global (diffuse) + caustic photon maps, k-NN-radius
+density estimation, optional final gather over a precomputed radiance map.
+
+TPU mapping:
+  preprocess  = wavefront photon passes (photon_shoot) + hash-grid sorts +
+                a radiance-map pass (irradiance gather at every stored
+                diffuse photon, batched)
+  render      = the shared wavefront engine for primary/specular transport
+                and NEE direct light, plus per-hit batched gathers:
+                caustic map density at the first diffuse hit, and either
+                fg_samples cosine gather rays -> nearest radiance photon
+                (finalGather) or direct global-map density (show-map mode).
+"""
+from __future__ import annotations
+
+import logging
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import math as vmath
+from ..core import qmc
+from ..core.sampling import INV_PI, sample_cos_hemisphere
+from ..film.imagefilm import film_init, film_splat
+from ..materials import bsdf
+from ..materials.base import MT_COATED_GLOSSY, MT_GLOSSY, MT_SHINYDIFFUSE, \
+    gather_rows
+from ..ops.photon_grid import build_photon_grid, density_estimate, \
+    nearest_photon
+from .config import RenderConfig
+from .engine import _closest_hit, _surface_point, _direct_lighting, \
+    make_sample_step
+from .photon_shoot import light_flux, make_photon_pass
+from .render import RenderResult, device_put_scene
+from ..cameras.base import shoot_rays
+from ..backgrounds.base import eval_background
+
+log = logging.getLogger("libyafaray_tpu")
+
+MAX_PHOTON_LANES = 1 << 18
+
+
+def _light_cdf(static, arrays):
+    flux = light_flux(static, arrays)
+    total = flux.sum()
+    if total <= 0:
+        return np.zeros(len(flux) + 1, np.float32), 0.0
+    cdf = np.concatenate([[0.0], np.cumsum(flux / total)]).astype(np.float32)
+    cdf[-1] = 1.0
+    return cdf, float(total)
+
+
+def build_photon_maps(cscene, cfg: RenderConfig, arrays):
+    """Shoot diffuse + caustic maps; returns (diffuse_grid, caustic_grid,
+    radiance_grid, n_diffuse_emitted, n_caustic_emitted)."""
+    static = cscene.static
+    cdf, total_flux = _light_cdf(static, arrays)
+    cdf_j = jnp.asarray(cdf)
+    if total_flux <= 0:
+        return None, None, None, 1, 1
+
+    scene_diag = float(np.linalg.norm(
+        np.asarray(cscene.bound_max) - np.asarray(cscene.bound_min)))
+    d_radius = cfg.diffuse_radius if cfg.diffuse_radius > 0 else \
+        scene_diag * 0.01
+    c_radius = cfg.caustic_radius if cfg.caustic_radius > 0 else \
+        scene_diag * 0.005
+
+    def shoot_map(n_req, mode, seed0):
+        lanes = min(MAX_PHOTON_LANES, max(1024, n_req))
+        n_passes = max(1, int(np.ceil(n_req / lanes)))
+        shoot = jax.jit(make_photon_pass(
+            static, cfg, lanes, cfg.photon_bounces, mode))
+        recs = []
+        for p in range(n_passes):
+            recs.append(shoot(arrays, cdf_j, total_flux,
+                              jnp.uint32(seed0 + p)))
+        rec = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *recs)
+        return rec, lanes * n_passes
+
+    t0 = time.perf_counter()
+    rec_d, n_em_d = shoot_map(cfg.photons, "diffuse", 1000)
+    rec_c, n_em_c = shoot_map(cfg.caustic_photons, "caustic", 9000)
+    log.info("photon shooting: %d diffuse stores / %d emitted, "
+             "%d caustic stores / %d emitted [%.2fs]",
+             int(jnp.sum(rec_d["valid"])), n_em_d,
+             int(jnp.sum(rec_c["valid"])), n_em_c,
+             time.perf_counter() - t0)
+
+    bmin = jnp.asarray(cscene.bound_min) - 1e-3
+    diffuse_grid = build_photon_grid(
+        rec_d["pos"], rec_d["valid"], d_radius, bmin,
+        dict(dir=rec_d["dir"], power=rec_d["power"], mat=rec_d["mat"],
+             normal=rec_d["normal"]),
+    )
+    caustic_grid = build_photon_grid(
+        rec_c["pos"], rec_c["valid"], c_radius, bmin,
+        dict(dir=rec_c["dir"], power=rec_c["power"]),
+    )
+
+    radiance_grid = None
+    if cfg.final_gather:
+        # radiance map: outgoing radiance at every stored diffuse photon,
+        # assuming Lambertian exitance: Lo = E·ρ/π with E from the density
+        # estimate (reference radianceMap precompute, threaded → batched)
+        mats = arrays["materials"]
+        qp = diffuse_grid["pos"]
+        qn = diffuse_grid["normal"]
+        flux, _ = density_estimate(diffuse_grid, qp, qn, d_radius * 2.0)
+        e_irr = flux / (np.pi * (d_radius * 2.0) ** 2) / n_em_d
+        rows = gather_rows(mats, diffuse_grid["mat"])
+        lo = e_irr * rows["diffuse_color"] * rows["diffuse_reflect"][..., None] * INV_PI
+        radiance_grid = build_photon_grid(
+            qp, diffuse_grid["valid"], d_radius * 2.0, bmin,
+            dict(radiance=lo, normal=qn),
+        )
+
+    return (diffuse_grid, caustic_grid, radiance_grid, n_em_d, n_em_c)
+
+
+def make_photon_sample_step(cscene, cfg: RenderConfig, grids):
+    """One-sample-per-pixel step: engine-style primary/specular transport,
+    then photon-based indirect at the first diffuse hit."""
+    diffuse_grid, caustic_grid, radiance_grid, n_em_d, n_em_c = grids
+    static = cscene.static
+    cam = cscene.camera
+    h, w = cfg.height, cfg.width
+    n = h * w
+    py, px = jnp.divmod(jnp.arange(n, dtype=jnp.int32), w)
+    pixel_hash = qmc.hash_u32(px.astype(jnp.uint32)
+                              ^ (py.astype(jnp.uint32) << 16))
+    scene_diag = float(np.linalg.norm(
+        np.asarray(cscene.bound_max) - np.asarray(cscene.bound_min)))
+    d_radius = cfg.diffuse_radius if cfg.diffuse_radius > 0 else \
+        scene_diag * 0.01
+    c_radius = cfg.caustic_radius if cfg.caustic_radius > 0 else \
+        scene_diag * 0.005
+
+    def sample_step(arrays, film, flags):
+        s_idx = film["nsamples"].reshape(-1).astype(jnp.uint32)
+        active = flags.reshape(-1)
+        dx = qmc.sample_dim(s_idx, qmc.DIM_PIXEL_X, pixel_hash)
+        dy = qmc.sample_dim(s_idx, qmc.DIM_PIXEL_Y, pixel_hash)
+        lu = qmc.sample_dim(s_idx, qmc.DIM_LENS_U, pixel_hash)
+        lv = qmc.sample_dim(s_idx, qmc.DIM_LENS_V, pixel_hash)
+        org, dirn, wt = shoot_rays(cam, px.astype(jnp.float32) + dx,
+                                   py.astype(jnp.float32) + dy, lu, lv)
+
+        L = jnp.zeros((n, 3), jnp.float32)
+        throughput = jnp.ones((n, 3), jnp.float32)
+        alive = active & (wt > 0.0)
+        done_diffuse = jnp.zeros((n,), jnp.bool_)
+        mats = arrays["materials"]
+        nrays = jnp.sum(alive.astype(jnp.float32))
+
+        # follow specular chains up to raydepth; shade at first diffuse hit
+        for bounce in range(cfg.raydepth + 1):
+            hit = _closest_hit(arrays, static, org, dirn,
+                               tmin=jnp.full((n,), static.ray_min_dist,
+                                             jnp.float32))
+            bg = eval_background(static.bg, arrays.get("bg_image"), dirn)
+            escape = alive & ~hit.hit
+            L = L + jnp.where(escape[..., None], throughput * bg, 0.0)
+            alive = alive & hit.hit
+
+            sp = _surface_point(arrays, hit, org, dirn)
+            wo = -dirn
+            row = gather_rows(mats, sp["mat"])
+            emit = bsdf.emission(row, sp["ng"], wo)
+            L = L + jnp.where(alive[..., None], throughput * emit, 0.0)
+
+            backface = vmath.dot(sp["ng"], wo) < 0.0
+            n_sh = jnp.where(backface[..., None], -sp["n"], sp["n"])
+            ng_sh = jnp.where(backface[..., None], -sp["ng"], sp["ng"])
+            sp_sh = dict(sp, n=n_sh, ng=ng_sh)
+
+            mt = row["mtype"]
+            is_diffuse = ((mt == MT_SHINYDIFFUSE) | (mt == MT_GLOSSY)
+                          | (mt == MT_COATED_GLOSSY))
+            shade_here = alive & is_diffuse & ~done_diffuse
+
+            bdim = qmc.bounce_dim(bounce, 0)
+            skey_b = qmc.hash_combine(pixel_hash, jnp.uint32(bounce))
+
+            # direct light (NEE, full sample counts)
+            Ld, sh_rays = _direct_lighting(
+                arrays, static, cfg, sp_sh, row, wo, ng_sh, s_idx, skey_b,
+                bdim, 1,
+            )
+            L = L + jnp.where(shade_here[..., None], throughput * Ld, 0.0)
+            nrays = nrays + sh_rays * jnp.sum(shade_here.astype(jnp.float32))
+
+            # caustic map density
+            if caustic_grid is not None:
+                cflux, _ = density_estimate(caustic_grid, sp["p"], n_sh,
+                                            c_radius)
+                lc = cflux / (np.pi * c_radius * c_radius) / n_em_c
+                f_c = (row["diffuse_reflect"][..., None]
+                       * row["diffuse_color"] * INV_PI)
+                L = L + jnp.where(shade_here[..., None],
+                                  throughput * f_c * lc, 0.0)
+
+            # indirect: final gather over the radiance map, or direct
+            # global-map density estimate
+            if radiance_grid is not None:
+                ind = jnp.zeros((n, 3), jnp.float32)
+                for s in range(cfg.fg_samples):
+                    skey_f = qmc.hash_combine(skey_b, jnp.uint32(0xF6 + s))
+                    u1 = qmc.sample_dim(s_idx, bdim + qmc.SLOT_BSDF_U,
+                                        skey_f)
+                    u2 = qmc.sample_dim(s_idx, bdim + qmc.SLOT_BSDF_V,
+                                        skey_f)
+                    gd, _ = sample_cos_hemisphere(n_sh, u1, u2)
+                    gorg = sp["p"] + ng_sh * static.shadow_bias
+                    ghit = _closest_hit(arrays, static, gorg, gd,
+                                        tmin=jnp.full((n,),
+                                                      static.ray_min_dist,
+                                                      jnp.float32))
+                    gsp = _surface_point(arrays, ghit, gorg, gd)
+                    rad, found = nearest_photon(
+                        radiance_grid, gsp["p"], d_radius * 4.0, "radiance")
+                    gbg = eval_background(static.bg,
+                                          arrays.get("bg_image"), gd)
+                    li = jnp.where(ghit.hit[..., None],
+                                   jnp.where(found[..., None], rad, 0.0),
+                                   gbg)
+                    ind = ind + li
+                # cosine sampling of a Lambertian: f·cos/pdf = ρ
+                ind = ind / cfg.fg_samples * row["diffuse_color"] \
+                    * row["diffuse_reflect"][..., None]
+                L = L + jnp.where(shade_here[..., None], throughput * ind,
+                                  0.0)
+                nrays = nrays + cfg.fg_samples * jnp.sum(
+                    shade_here.astype(jnp.float32))
+            elif diffuse_grid is not None:
+                dflux, _ = density_estimate(diffuse_grid, sp["p"], n_sh,
+                                            d_radius)
+                ld = dflux / (np.pi * d_radius * d_radius) / n_em_d
+                f_d = (row["diffuse_reflect"][..., None]
+                       * row["diffuse_color"] * INV_PI)
+                # density estimate includes direct photons: subtract nothing
+                # (reference show-map semantics); direct NEE above is the
+                # unbiased part, so use the map for indirect only via
+                # one-bounce-minimum photons — approximated by full map here
+                L = L + jnp.where(shade_here[..., None],
+                                  throughput * f_d * ld * np.pi, 0.0)
+
+            done_diffuse = done_diffuse | shade_here
+
+            if bounce == cfg.raydepth:
+                break
+
+            # continue only through specular chains
+            u1 = qmc.sample_dim(s_idx, bdim + qmc.SLOT_BSDF_U, skey_b)
+            u2 = qmc.sample_dim(s_idx, bdim + qmc.SLOT_BSDF_V, skey_b)
+            ul = qmc.sample_dim(s_idx, bdim + qmc.SLOT_LIGHT_PICK, skey_b)
+            smp = bsdf.sample_bsdf(row, n_sh, ng_sh, wo, u1, u2, ul)
+            cont = smp["specular"] & smp["valid"] & ~done_diffuse
+            alive = alive & cont
+            throughput = throughput * smp["tp"]
+            off = jnp.where(smp["transmit"], -1.0, 1.0)[..., None]
+            org = sp["p"] + ng_sh * off * static.shadow_bias
+            dirn = smp["wi"]
+            nrays = nrays + jnp.sum(alive.astype(jnp.float32))
+
+        L = L * wt[..., None]
+        film = film_splat(film, L.reshape(h, w, 3), dx.reshape(h, w),
+                          dy.reshape(h, w), flags.astype(jnp.float32),
+                          cfg.filter_type, cfg.aa_pixelwidth,
+                          clamp_samples=cfg.aa_clamp_samples)
+        film = dict(film, rays=film.get("rays", 0.0) + nrays)
+        return film
+
+    return sample_step
+
+
+def render_photonmap(cscene, cfg: RenderConfig, progress_cb=None):
+    import time as _t
+
+    arrays = device_put_scene(cscene)
+    t0 = _t.perf_counter()
+    grids = build_photon_maps(cscene, cfg, arrays)
+    step = make_photon_sample_step(cscene, cfg, grids)
+    step_j = jax.jit(step, donate_argnums=(1,))
+
+    film = film_init(cfg.height, cfg.width)
+    film["rays"] = jnp.zeros((), jnp.float32)
+    flags = jnp.ones((cfg.height, cfg.width), jnp.bool_)
+    from ..film.imagefilm import compute_aa_flags
+
+    t1 = _t.perf_counter()
+    for p in range(cfg.aa_passes):
+        fl = flags if p == 0 else compute_aa_flags(
+            film, cfg.aa_threshold, cfg.aa_dark_detection,
+            cfg.aa_dark_factor, cfg.aa_detect_color_noise)
+        for s in range(cfg.aa_samples if p == 0 else cfg.aa_inc_samples):
+            film = step_j(arrays, film, fl)
+        if progress_cb:
+            jax.block_until_ready(film["wsum"])
+            progress_cb(p + 1, cfg.aa_passes)
+    jax.block_until_ready(film["wsum"])
+    t2 = _t.perf_counter()
+    return RenderResult(film, cfg, dict(
+        render_s=t2 - t1, total_s=t2 - t0, preprocess_s=t1 - t0,
+        rays=float(film["rays"]),
+    ))

@@ -1,0 +1,125 @@
+"""Render orchestration — the pass loop (reference scene_t::render +
+tiledIntegrator_t::render, SURVEY §3.3, minus the threads: one jitted
+sample_step advances every pixel at once; adaptive AA flags gate pixels).
+"""
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..film.imagefilm import (
+    compute_aa_flags, film_image, film_init, film_load, film_save, film_splat,
+)
+from ..scene.scene import CompiledScene
+from .config import RenderConfig
+from .engine import make_sample_step
+
+log = logging.getLogger("libyafaray_tpu")
+
+
+class RenderResult:
+    def __init__(self, film, cfg, stats):
+        self.film = film
+        self.cfg = cfg
+        self.stats = stats
+
+    @property
+    def image(self) -> np.ndarray:
+        return np.asarray(film_image(self.film))
+
+    @property
+    def mrays_per_sec(self) -> float:
+        t = max(self.stats.get("render_s", 0.0), 1e-9)
+        return float(self.stats.get("rays", 0.0)) / t / 1e6
+
+
+def device_put_scene(cscene: CompiledScene):
+    """Move compiled scene arrays onto the default device once."""
+    return jax.device_put(cscene.arrays)
+
+
+def render(cscene: CompiledScene, cfg: RenderConfig,
+           progress_cb=None, film_path: str | None = None) -> RenderResult:
+    """Full multi-pass adaptive-AA render."""
+    stats: dict = {}
+    t0 = time.perf_counter()
+    arrays = device_put_scene(cscene)
+
+    step = make_sample_step(cscene.static, cscene.camera, cfg)
+    step_j = jax.jit(step, donate_argnums=(1,))
+
+    film = film_init(cfg.height, cfg.width)
+    film["rays"] = jnp.zeros((), jnp.float32)
+    start_pass = 0
+
+    if cfg.film_save_load in ("load", "load-save") and film_path:
+        loaded = film_load(film_path, {"cfg": repr(cfg)})
+        if loaded is not None:
+            film, start_pass = loaded
+            log.info("film resume: loaded %s at pass %d", film_path,
+                     start_pass)
+
+    ones = jnp.ones((cfg.height, cfg.width), jnp.bool_)
+    t_compile0 = time.perf_counter()
+    for p in range(start_pass, cfg.aa_passes):
+        if p == 0:
+            flags = ones
+            n_steps = cfg.aa_samples
+        else:
+            thr = cfg.aa_threshold
+            flags = compute_aa_flags(
+                film, thr, cfg.aa_dark_detection, cfg.aa_dark_factor,
+                cfg.aa_detect_color_noise,
+            )
+            n_steps = cfg.aa_inc_samples
+        for s in range(n_steps):
+            film = step_j(arrays, film, flags)
+        if progress_cb is not None:
+            jax.block_until_ready(film["wsum"])
+            progress_cb(p + 1, cfg.aa_passes)
+        if (cfg.autosave_interval_type == "pass"
+                or cfg.film_save_load in ("save", "load-save")) and film_path:
+            jax.block_until_ready(film["wsum"])
+            film_save(film_path, film, {"cfg": repr(cfg)}, p + 1)
+
+    jax.block_until_ready(film["wsum"])
+    t1 = time.perf_counter()
+    stats["render_s"] = t1 - t_compile0
+    stats["total_s"] = t1 - t0
+    stats["rays"] = float(film["rays"])
+    stats["passes"] = cfg.aa_passes
+    return RenderResult(film, cfg, stats)
+
+
+def render_timed(cscene: CompiledScene, cfg: RenderConfig,
+                 warmup: bool = True) -> RenderResult:
+    """Benchmark render: compiles + warms up first, then times steady-state
+    (the driver's Mrays/s metric)."""
+    arrays = device_put_scene(cscene)
+    step = make_sample_step(cscene.static, cscene.camera, cfg)
+    step_j = jax.jit(step, donate_argnums=(1,))
+    flags = jnp.ones((cfg.height, cfg.width), jnp.bool_)
+
+    def fresh_film():
+        f = film_init(cfg.height, cfg.width)
+        f["rays"] = jnp.zeros((), jnp.float32)
+        return f
+
+    if warmup:
+        f = step_j(arrays, fresh_film(), flags)
+        jax.block_until_ready(f["wsum"])
+
+    film = fresh_film()
+    t0 = time.perf_counter()
+    total = cfg.aa_samples * cfg.aa_passes
+    for _ in range(total):
+        film = step_j(arrays, film, flags)
+    jax.block_until_ready(film["wsum"])
+    t1 = time.perf_counter()
+    stats = dict(render_s=t1 - t0, total_s=t1 - t0,
+                 rays=float(film["rays"]), passes=1)
+    return RenderResult(film, cfg, stats)

@@ -1,0 +1,107 @@
+"""Material factory: ParamMap -> material table row.
+
+Reference: renderEnvironment_t::createMaterial + each material's
+`factory(paraMap, env)` (SURVEY §2.4) — parameter names and defaults follow
+the reference's factories so XML scenes map 1:1.
+"""
+from __future__ import annotations
+
+import logging
+
+from ..scene.params import ParamMap
+from .base import MATERIAL_TYPE_NAMES, MT_BLEND, MT_GLASS, MT_LIGHT, \
+    MT_MASK, MT_ROUGH_GLASS, default_row
+
+log = logging.getLogger("libyafaray_tpu")
+
+
+def material_row_from_params(params: ParamMap, mat_name_to_id: dict,
+                             tex_name_to_id: dict | None = None) -> dict:
+    tex_name_to_id = tex_name_to_id or {}
+    mtype_name = params.get_str("type", "shinydiffusemat")
+    if mtype_name not in MATERIAL_TYPE_NAMES:
+        log.warning("unknown material type %r; using shinydiffusemat",
+                    mtype_name)
+        mtype_name = "shinydiffusemat"
+    row = default_row()
+    row["mtype"] = MATERIAL_TYPE_NAMES[mtype_name]
+
+    # common / shinydiffuse
+    row["diffuse_color"] = params.get_rgb("color", params.get_rgb(
+        "diffuse_color", (0.8, 0.8, 0.8)))
+    row["mirror_color"] = params.get_rgb("mirror_color", (1.0, 1.0, 1.0))
+    row["diffuse_reflect"] = params.get_float("diffuse_reflect", 1.0)
+    row["specular_reflect"] = params.get_float("specular_reflect", 0.0)
+    row["transparency"] = params.get_float("transparency", 0.0)
+    row["translucency"] = params.get_float("translucency", 0.0)
+    row["emit_strength"] = params.get_float("emit", 0.0)
+    row["fresnel_effect"] = params.get_bool("fresnel_effect", False)
+    row["ior"] = params.get_float("IOR", 1.0)
+    row["sigma"] = params.get_float("sigma", 0.0)
+    row["receive_shadows"] = params.get_bool("receive_shadows", True)
+
+    # glossy family
+    row["glossy_color"] = params.get_rgb("glossy_color", (1.0, 1.0, 1.0))
+    row["glossy_reflect"] = params.get_float("glossy_reflect", 1.0)
+    row["exponent"] = params.get_float("exponent", 50.0)
+    row["anisotropic"] = params.get_bool("anisotropic", False)
+    row["exp_u"] = params.get_float("exp_u", 50.0)
+    row["exp_v"] = params.get_float("exp_v", 50.0)
+    row["as_diffuse"] = params.get_bool("as_diffuse", False)
+
+    # glass family
+    if row["mtype"] in (MT_GLASS, MT_ROUGH_GLASS):
+        row["ior"] = params.get_float("IOR", 1.5)
+        row["filter_color"] = params.get_rgb("filter_color", (1.0, 1.0, 1.0))
+        absorp = params.get_rgb("absorption", (1.0, 1.0, 1.0))
+        dist = params.get_float("absorption_dist", 1.0)
+        # Beer sigma = -ln(color)/dist (App. B); color 1 => no absorption
+        import math
+        sigma = tuple(
+            -math.log(max(min(c, 1.0), 1e-6)) / max(dist, 1e-6)
+            if c < 1.0 - 1e-9 else 0.0
+            for c in absorp
+        )
+        row["absorption_sigma"] = sigma
+        row["dispersion_power"] = params.get_float("dispersion_power", 0.0)
+        row["fake_shadows"] = params.get_bool("fake_shadows", False)
+        if row["mtype"] == MT_ROUGH_GLASS:
+            # reference exposes `alpha` roughness; map to Blinn-style exponent
+            alpha = params.get_float("alpha", params.get_float("exponent", 0.2))
+            if alpha <= 0.0:
+                alpha = 1e-3
+            if "alpha" in params:
+                row["exponent"] = max(2.0 / (alpha * alpha) - 2.0, 1.0)
+    else:
+        row["filter_color"] = params.get_rgb("filter_color", (1.0, 1.0, 1.0))
+
+    # light material
+    if row["mtype"] == MT_LIGHT:
+        power = params.get_float("power", 1.0)
+        col = params.get_rgb("color", (1.0, 1.0, 1.0))
+        row["emit_color"] = tuple(c * power for c in col)
+        row["double_sided"] = params.get_bool("double_sided", False)
+        row["diffuse_reflect"] = 0.0
+
+    # blend / mask
+    if row["mtype"] in (MT_BLEND, MT_MASK):
+        m1 = params.get_str("material1", "")
+        m2 = params.get_str("material2", "")
+        row["sub_mat1"] = mat_name_to_id.get(m1, 0)
+        row["sub_mat2"] = mat_name_to_id.get(m2, 0)
+        row["blend_value"] = params.get_float("blend_value", 0.5)
+        row["mask_threshold"] = params.get_float("threshold", 0.5)
+
+    # shader-node texture slots (resolved by the node compiler; -1 = unset)
+    for slot, key in (
+        ("tex_diffuse", "diffuse_shader"), ("tex_glossy", "glossy_shader"),
+        ("tex_bump", "bump_shader"), ("tex_mirror", "mirror_color_shader"),
+        ("tex_transparency", "transparency_shader"),
+        ("tex_translucency", "translucency_shader"),
+        ("tex_blend", "blend_shader"), ("tex_mask", "mask_shader"),
+        ("tex_sigma_oren", "sigma_oren_shader"),
+    ):
+        sh = params.get_str(key, "")
+        if sh:
+            row[slot] = tex_name_to_id.get(sh, -1)
+    return row

@@ -1,0 +1,398 @@
+"""Scene — host-side scene graph + compile to flat device arrays.
+
+Reference roles merged here (SURVEY §2.2, L8/L9):
+  * scene_t          — owns objects/lights/materials, geometry streaming
+                       state machine, update() (accel build), render entry
+  * renderEnvironment_t — string-keyed factories (create*), param plumbing
+  * yafrayInterface_t  — the flat scene-building API surface
+
+TPU-native inversion: instead of pointer-linked objects traversed per ray,
+`compile()` lowers everything into a `CompiledScene`:
+  - device arrays (pytree dict): triangle SoA (split into a camera-visible
+    set and a shadow-caster set, baking per-object visibility flags),
+    material table, light table, per-light CDFs, background image
+  - `SceneStatic` (hashable): light/type layout, intersector choice,
+    background spec — everything tracing specializes on.
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..accel.bvh import build_bvh, BVH_THRESHOLD
+from ..backgrounds.base import BackgroundSpec
+from ..backgrounds.factory import background_from_params
+from ..cameras.base import Camera
+from ..cameras.factory import camera_from_params
+from ..lights.base import LT_MESH, build_light_table
+from ..lights.factory import light_from_params
+from ..materials.base import MT_LIGHT, build_material_table, default_row
+from ..materials.factory import material_row_from_params
+from ..ops.intersect import pad_triangles
+from .mesh import TriMesh, finalize_mesh, make_sphere_mesh, transform_baked
+from .params import ParamMap
+
+log = logging.getLogger("libyafaray_tpu")
+
+
+@dataclass(frozen=True)
+class LightStatic:
+    ltype: int
+    samples: int
+    is_delta: bool
+    intersectable: bool
+    cast_shadows: bool
+    photon_only: bool
+    enabled: bool
+    tri_start: int = -1
+    tri_count: int = 0
+
+
+@dataclass(frozen=True)
+class SceneStatic:
+    n_materials: int
+    n_tris: int  # camera-visible set, padded size
+    n_tris_real: int
+    n_shadow_tris: int  # shadow set, padded size
+    lights: tuple  # tuple[LightStatic, ...]
+    bg: BackgroundSpec
+    intersector: str  # "brute" | "bvh"
+    chunk: int
+    shadow_bias: float
+    ray_min_dist: float
+
+
+@dataclass
+class CompiledScene:
+    arrays: dict  # device-ready numpy/jnp arrays (pytree)
+    static: SceneStatic
+    camera: Camera
+    bound_min: tuple = (0.0, 0.0, 0.0)
+    bound_max: tuple = (1.0, 1.0, 1.0)
+
+
+class Scene:
+    """Host scene under construction through the flat API."""
+
+    def __init__(self):
+        self.meshes: dict[int, TriMesh] = {}
+        self.extra_tri_blocks: list[dict] = []  # sphere prims, light panels
+        self.materials: list[dict] = [default_row()]  # row 0 = fallback null
+        self.material_names: dict[str, int] = {"__default__": 0}
+        self.lights: list[dict] = []
+        self.light_names: list[str] = []
+        self.light_geometry: list = []  # parallel: geometry or None
+        self.cameras: dict[str, Camera] = {}
+        self.textures: dict[str, object] = {}
+        self.background: tuple = (BackgroundSpec(), None)
+        self.volumes: list = []
+        self.render_params = ParamMap()
+        self.integrator_params: dict[str, ParamMap] = {}
+        self._cur_mesh: TriMesh | None = None
+        self._next_mesh_id = 0
+        self.shadow_bias = 5e-4
+        self.ray_min_dist = 5e-5
+        self.aborted = False
+
+    # ------------------------------------------------------------------
+    # geometry streaming (yafrayInterface parity)
+    # ------------------------------------------------------------------
+
+    def start_tri_mesh(self, mesh_id=None, has_uv=False, has_orco=False,
+                       obj_pass_index=0) -> int:
+        if mesh_id is None:
+            mesh_id = self._next_mesh_id
+        mesh_id = int(mesh_id)
+        self._next_mesh_id = max(self._next_mesh_id, mesh_id + 1)
+        self._cur_mesh = TriMesh(mesh_id=mesh_id, has_uv=bool(has_uv),
+                                 has_orco=bool(has_orco),
+                                 obj_pass_index=int(obj_pass_index))
+        self.meshes[mesh_id] = self._cur_mesh
+        return mesh_id
+
+    def add_vertex(self, x, y, z):
+        self._cur_mesh.add_vertex(x, y, z)
+        return len(self._cur_mesh.vertices) - 1
+
+    def add_normal(self, x, y, z):
+        self._cur_mesh.add_normal(x, y, z)
+
+    def add_uv(self, u, v):
+        return self._cur_mesh.add_uv(u, v)
+
+    def add_triangle(self, a, b, c, mat_name_or_id=0,
+                     uv_a=-1, uv_b=-1, uv_c=-1):
+        mid = (
+            self.material_names.get(mat_name_or_id, 0)
+            if isinstance(mat_name_or_id, str)
+            else int(mat_name_or_id)
+        )
+        self._cur_mesh.add_triangle(a, b, c, mid, uv_a, uv_b, uv_c)
+
+    def end_tri_mesh(self):
+        self._cur_mesh = None
+
+    def smooth_mesh(self, mesh_id, angle_deg):
+        m = self.meshes.get(int(mesh_id)) or self._cur_mesh
+        if m is not None:
+            m.smooth(angle_deg)
+
+    def add_instance(self, base_mesh_id, matrix16):
+        base = self.meshes.get(int(base_mesh_id))
+        if base is None:
+            log.warning("addInstance: unknown base mesh %s", base_mesh_id)
+            return
+        arrays = finalize_mesh(base)
+        if arrays is None:
+            return
+        m = np.asarray(matrix16, np.float64).reshape(4, 4)
+        self.extra_tri_blocks.append(transform_baked(arrays, m))
+
+    def add_sphere(self, center, radius, mat_name_or_id=0):
+        mid = (
+            self.material_names.get(mat_name_or_id, 0)
+            if isinstance(mat_name_or_id, str)
+            else int(mat_name_or_id)
+        )
+        self.extra_tri_blocks.append(make_sphere_mesh(center, radius, mid))
+
+    # ------------------------------------------------------------------
+    # factories (renderEnvironment_t::create*)
+    # ------------------------------------------------------------------
+
+    def create_material(self, name: str, params: ParamMap) -> int:
+        row = material_row_from_params(
+            params, self.material_names,
+            {n: i for i, n in enumerate(self.textures)},
+        )
+        if name in self.material_names:
+            self.materials[self.material_names[name]] = row
+            return self.material_names[name]
+        self.materials.append(row)
+        self.material_names[name] = len(self.materials) - 1
+        return self.material_names[name]
+
+    def create_light(self, name: str, params: ParamMap) -> int:
+        row, geometry = light_from_params(params)
+        self.lights.append(row)
+        self.light_names.append(name)
+        self.light_geometry.append(geometry)
+        return len(self.lights) - 1
+
+    def create_camera(self, name: str, params: ParamMap) -> Camera:
+        cam = camera_from_params(params)
+        self.cameras[name] = cam
+        return cam
+
+    def create_texture(self, name: str, params: ParamMap):
+        from ..textures.factory import texture_from_params
+
+        self.textures[name] = texture_from_params(params)
+        return self.textures[name]
+
+    def create_background(self, name: str, params: ParamMap):
+        self.background = background_from_params(params, self.textures)
+        return self.background
+
+    def create_volume_region(self, name: str, params: ParamMap):
+        from ..volumes.factory import volume_from_params
+
+        self.volumes.append(volume_from_params(params))
+        return self.volumes[-1]
+
+    def create_integrator(self, name: str, params: ParamMap):
+        self.integrator_params[name] = ParamMap(params)
+
+    def set_render_params(self, params: ParamMap):
+        self.render_params = ParamMap(params)
+        self.shadow_bias = params.get_float("shadow_bias", 5e-4)
+        self.ray_min_dist = params.get_float("ray_min_dist", 5e-5)
+
+    def abort(self):
+        self.aborted = True
+
+    # ------------------------------------------------------------------
+    # compile (scene_t::update analog)
+    # ------------------------------------------------------------------
+
+    def compile(self, chunk: int = 512) -> CompiledScene:
+        blocks: list[dict] = []
+        for mesh in self.meshes.values():
+            arr = finalize_mesh(mesh)
+            if arr is not None:
+                blocks.append(arr)
+        blocks.extend(self.extra_tri_blocks)
+
+        # meshlight resolution: find object tri block, set radiance & CDF
+        mesh_light_cdfs: dict[int, np.ndarray] = {}
+
+        # area-light panels -> synthetic light_mat + triangles
+        for li, (row, geom) in enumerate(zip(self.lights,
+                                             self.light_geometry)):
+            if geom is None:
+                continue
+            lm = default_row()
+            lm["mtype"] = MT_LIGHT
+            lm["emit_color"] = geom["radiance"]
+            lm["diffuse_reflect"] = 0.0
+            self.materials.append(lm)
+            mat_id = len(self.materials) - 1
+            pos = geom["pos"]
+            tcount = pos.shape[0]
+            gn = np.cross(pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0])
+            gn /= np.maximum(np.linalg.norm(gn, axis=1, keepdims=True), 1e-20)
+            blocks.append(dict(
+                pos=pos.astype(np.float32),
+                normal=np.repeat(gn[:, None, :], 3, axis=1).astype(np.float32),
+                geo_n=gn.astype(np.float32),
+                uv=np.zeros((tcount, 3, 2), np.float32),
+                mat=np.full(tcount, mat_id, np.int32),
+                light_id=np.full(tcount, li, np.int32),
+                visibility="normal",
+            ))
+
+        if not blocks:
+            blocks.append(dict(
+                pos=np.full((1, 3, 3), 1e30, np.float32),
+                normal=np.zeros((1, 3, 3), np.float32),
+                geo_n=np.zeros((1, 3), np.float32),
+                uv=np.zeros((1, 3, 2), np.float32),
+                mat=np.zeros(1, np.int32),
+                light_id=np.full(1, -1, np.int32),
+                visibility="normal",
+            ))
+
+        vis_blocks = [b for b in blocks
+                      if b.get("visibility", "normal") in ("normal",
+                                                           "no_shadows")]
+        shadow_blocks = [b for b in blocks
+                         if b.get("visibility", "normal") in ("normal",
+                                                              "shadow_only")]
+        if not vis_blocks:
+            vis_blocks = blocks[:1]
+        if not shadow_blocks:
+            shadow_blocks = blocks[:1]
+
+        def cat(bs, key):
+            return np.concatenate([b[key] for b in bs], axis=0)
+
+        pos = cat(vis_blocks, "pos")  # (T,3,3)
+        normal = cat(vis_blocks, "normal")
+        geo_n = cat(vis_blocks, "geo_n")
+        uv = cat(vis_blocks, "uv")
+        mat = cat(vis_blocks, "mat")
+        light_id = cat(vis_blocks, "light_id")
+        n_real = pos.shape[0]
+
+        # meshlight: resolve object references now that blocks are fixed
+        tri_cursor = 0
+        block_ranges = []
+        for b in vis_blocks:
+            block_ranges.append((tri_cursor, b["pos"].shape[0]))
+            tri_cursor += b["pos"].shape[0]
+
+        v0 = pos[:, 0]
+        e1 = pos[:, 1] - pos[:, 0]
+        e2 = pos[:, 2] - pos[:, 0]
+        v0p, e1p, e2p, _ = pad_triangles(v0, e1, e2, chunk)
+        n_pad = v0p.shape[0]
+
+        sv0 = cat(shadow_blocks, "pos")[:, 0]
+        spos = cat(shadow_blocks, "pos")
+        se1 = spos[:, 1] - spos[:, 0]
+        se2 = spos[:, 2] - spos[:, 0]
+        smat = cat(shadow_blocks, "mat")
+        sv0p, se1p, se2p, _ = pad_triangles(sv0, se1, se2, chunk)
+        ns_pad = sv0p.shape[0]
+
+        mats = build_material_table(self.materials)
+
+        # per-shadow-tri transmission filter from material table (pure
+        # numpy: scene compile must not dispatch device ops — over a
+        # remote-tunneled TPU each tiny op costs a round trip)
+        from ..materials.host import shadow_filter_np
+
+        filt_m = shadow_filter_np(mats)  # (M,3)
+        sfilt = filt_m[smat]
+        sfilt = np.concatenate(
+            [sfilt, np.zeros((ns_pad - sfilt.shape[0], 3), np.float32)]
+        )
+        # binary variant for transpShad=false renders: only true pass-through
+        # (null) materials don't block
+        sfilt_bin = np.where(
+            np.min(sfilt, axis=-1, keepdims=True) >= 1.0 - 1e-6, 1.0, 0.0
+        ).astype(np.float32)
+
+        lights_table = build_light_table(
+            [{k: v for k, v in r.items() if not k.startswith("_")}
+             for r in self.lights]
+        )
+        light_statics = tuple(
+            LightStatic(
+                ltype=int(r["ltype"]), samples=int(r["samples"]),
+                is_delta=bool(r["is_delta"]),
+                intersectable=bool(r["intersectable"]),
+                cast_shadows=bool(r["cast_shadows"]),
+                photon_only=bool(r["photon_only"]),
+                enabled=bool(r["enabled"]),
+            )
+            for r in self.lights
+        )
+
+        bg_spec, bg_img = self.background
+
+        arrays = dict(
+            tris=dict(v0=v0p.astype(np.float32), e1=e1p.astype(np.float32),
+                      e2=e2p.astype(np.float32)),
+            stris=dict(v0=sv0p.astype(np.float32),
+                       e1=se1p.astype(np.float32),
+                       e2=se2p.astype(np.float32)),
+            shadow_filt=sfilt.astype(np.float32),
+            shadow_filt_binary=sfilt_bin,
+            tri_pos=pos.astype(np.float32),
+            tri_normal=normal.astype(np.float32),
+            tri_geo_n=geo_n.astype(np.float32),
+            tri_uv=uv.astype(np.float32),
+            tri_mat=mat.astype(np.int32),
+            tri_light_id=light_id.astype(np.int32),
+            materials=mats,
+            lights=lights_table,
+        )
+        if bg_img is not None:
+            arrays["bg_image"] = np.asarray(bg_img, np.float32)
+
+        intersector = "brute" if n_real <= BVH_THRESHOLD else "bvh"
+        if intersector == "bvh":
+            arrays["bvh"] = build_bvh(v0, e1, e2)
+            arrays["sbvh"] = build_bvh(sv0, se1, se2)
+
+        finite = pos[np.all(np.isfinite(pos), axis=(1, 2))]
+        bmin = finite.min(axis=(0, 1)) if finite.size else np.zeros(3)
+        bmax = finite.max(axis=(0, 1)) if finite.size else np.ones(3)
+
+        static = SceneStatic(
+            n_materials=len(self.materials),
+            n_tris=n_pad, n_tris_real=n_real, n_shadow_tris=ns_pad,
+            lights=light_statics, bg=bg_spec, intersector=intersector,
+            chunk=chunk, shadow_bias=self.shadow_bias,
+            ray_min_dist=self.ray_min_dist,
+        )
+        cam = next(iter(self.cameras.values())) if self.cameras else Camera()
+        cam_name = self.render_params.get_str("camera_name", "")
+        if cam_name and cam_name in self.cameras:
+            cam = self.cameras[cam_name]
+        # <render> width/height override the camera resolution (reference
+        # behavior: the render block drives the film and pixel->NDC mapping)
+        rw = self.render_params.get_int("width", cam.resx)
+        rh = self.render_params.get_int("height", cam.resy)
+        if rw != cam.resx or rh != cam.resy:
+            from dataclasses import replace
+
+            cam = replace(cam, resx=rw, resy=rh)
+        return CompiledScene(
+            arrays=arrays, static=static, camera=cam,
+            bound_min=tuple(float(x) for x in bmin),
+            bound_max=tuple(float(x) for x in bmax),
+        )

@@ -1,0 +1,76 @@
+"""Render session — ties Scene -> compile -> integrator -> film -> output.
+
+Reference: session_t + renderEnvironment_t::setupScene (SURVEY §2.2/§3.1).
+"""
+from __future__ import annotations
+
+import logging
+import time
+
+from ..integrators.config import RenderConfig, config_from_params
+from ..integrators.render import RenderResult, render
+from .params import ParamMap
+from .scene import Scene
+
+log = logging.getLogger("libyafaray_tpu")
+
+SURFACE_INTEGRATORS = ("directlighting", "pathtracing", "photonmapping",
+                       "SPPM", "bidirectional", "DebugIntegrator")
+
+
+def build_config(scene: Scene) -> RenderConfig:
+    surf = ParamMap()
+    vol = ParamMap()
+    want = scene.render_params.get_str("integrator_name", "")
+    want_vol = scene.render_params.get_str("volintegrator_name", "")
+    for name, p in scene.integrator_params.items():
+        t = p.get_str("type", "")
+        if name == want or (not want and t in SURFACE_INTEGRATORS and
+                            not surf):
+            if t in SURFACE_INTEGRATORS:
+                surf = p
+        if name == want_vol or (not want_vol and
+                                t in ("EmissionIntegrator",
+                                      "SingleScatterIntegrator",
+                                      "SkyIntegrator", "none")):
+            vol = p
+    if not surf:
+        for p in scene.integrator_params.values():
+            if p.get_str("type", "") in SURFACE_INTEGRATORS:
+                surf = p
+                break
+    return config_from_params(scene.render_params, surf, vol)
+
+
+def render_scene(scene: Scene, progress_cb=None,
+                 film_path: str | None = None) -> RenderResult:
+    cfg = build_config(scene)
+    t0 = time.perf_counter()
+    cscene = scene.compile()
+    log.info("scene compiled: %d tris (%d shadow), %d materials, %d lights, "
+             "intersector=%s [%.2fs]",
+             cscene.static.n_tris_real, cscene.static.n_shadow_tris,
+             cscene.static.n_materials, len(cscene.static.lights),
+             cscene.static.intersector, time.perf_counter() - t0)
+
+    if cfg.integrator in ("directlighting", "pathtracing"):
+        return render(cscene, cfg, progress_cb=progress_cb,
+                      film_path=film_path)
+    if cfg.integrator == "photonmapping":
+        from ..integrators.photonmap import render_photonmap
+
+        return render_photonmap(cscene, cfg, progress_cb=progress_cb)
+    if cfg.integrator == "SPPM":
+        from ..integrators.sppm import render_sppm
+
+        return render_sppm(cscene, cfg, progress_cb=progress_cb)
+    if cfg.integrator == "DebugIntegrator":
+        from ..integrators.debug import render_debug
+
+        return render_debug(cscene, cfg)
+    if cfg.integrator == "bidirectional":
+        log.warning("bidirectional integrator is deprecated upstream; "
+                    "rendering with pathtracing (parity note: SURVEY §2.10)")
+        cfg2 = RenderConfig(**{**cfg.__dict__, "integrator": "pathtracing"})
+        return render(cscene, cfg2, progress_cb=progress_cb)
+    raise ValueError(f"unknown integrator {cfg.integrator!r}")

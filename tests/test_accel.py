@@ -1,0 +1,87 @@
+"""BVH build + traversal vs brute force on random triangle soups
+(SURVEY §4: 'kd/BVH: random rays vs brute-force intersect — exact same
+hits & t')."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from libyafaray_tpu.accel.bvh import build_bvh
+from libyafaray_tpu.ops.intersect import closest_hit_brute, pad_triangles, \
+    shadow_transmission_brute
+from libyafaray_tpu.ops.bvh_traverse import closest_hit_bvh, \
+    shadow_transmission_bvh
+
+
+@pytest.fixture(scope="module")
+def soup():
+    rng = np.random.default_rng(42)
+    t = 700
+    center = rng.uniform(-1, 1, (t, 3))
+    v0 = center + rng.normal(0, 0.08, (t, 3))
+    e1 = rng.normal(0, 0.15, (t, 3))
+    e2 = rng.normal(0, 0.15, (t, 3))
+    return v0.astype(np.float32), e1.astype(np.float32), e2.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def rays():
+    rng = np.random.default_rng(43)
+    n = 512
+    org = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(org), jnp.asarray(d)
+
+
+def test_bvh_matches_brute(soup, rays):
+    v0, e1, e2 = soup
+    org, d = rays
+    v0p, e1p, e2p, _ = pad_triangles(v0, e1, e2, 512)
+    tris_p = dict(v0=jnp.asarray(v0p), e1=jnp.asarray(e1p),
+                  e2=jnp.asarray(e2p))
+    hb = closest_hit_brute(tris_p, org, d, chunk=512)
+
+    bvh = {k: jnp.asarray(v) for k, v in build_bvh(v0, e1, e2).items()}
+    tris = dict(v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2))
+    hv = closest_hit_bvh(bvh, tris, org, d)
+
+    assert np.array_equal(np.asarray(hb.hit), np.asarray(hv.hit))
+    m = np.asarray(hb.hit)
+    assert np.allclose(np.asarray(hb.t)[m], np.asarray(hv.t)[m], rtol=1e-4)
+    assert np.array_equal(np.asarray(hb.tri)[m], np.asarray(hv.tri)[m])
+
+
+def test_bvh_shadow_matches_brute(soup, rays):
+    v0, e1, e2 = soup
+    org, d = rays
+    rng = np.random.default_rng(44)
+    t = v0.shape[0]
+    filt = (rng.random((t, 3)) * (rng.random((t, 1)) > 0.5)).astype(np.float32)
+    dist = jnp.full((org.shape[0],), 2.5, jnp.float32)
+
+    v0p, e1p, e2p, _ = pad_triangles(v0, e1, e2, 512)
+    filt_p = np.concatenate(
+        [filt, np.zeros((v0p.shape[0] - t, 3), np.float32)]
+    )
+    tris_p = dict(v0=jnp.asarray(v0p), e1=jnp.asarray(e1p),
+                  e2=jnp.asarray(e2p))
+    tr_b = shadow_transmission_brute(tris_p, jnp.asarray(filt_p), org, d,
+                                     dist, chunk=512)
+
+    bvh = {k: jnp.asarray(v) for k, v in build_bvh(v0, e1, e2).items()}
+    tris = dict(v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2))
+    tr_v = shadow_transmission_bvh(bvh, tris, jnp.asarray(filt), org, d,
+                                   dist)
+    # tiny differences possible for hits exactly at the tmax boundary
+    assert np.allclose(np.asarray(tr_b), np.asarray(tr_v), atol=2e-3)
+
+
+def test_bvh_nodes_wellformed(soup):
+    v0, e1, e2 = soup
+    bvh = build_bvh(v0, e1, e2)
+    n = bvh["bb_min"].shape[0]
+    assert np.all(bvh["hit_next"] < n) and np.all(bvh["miss_next"] < n)
+    leaves = bvh["first_tri"] >= 0
+    assert bvh["tri_count"][leaves].max() <= 4
+    assert bvh["tri_count"][leaves].sum() == v0.shape[0]
+    assert sorted(bvh["tri_order"].tolist()) == list(range(v0.shape[0]))
