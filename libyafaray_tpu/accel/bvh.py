@@ -105,8 +105,20 @@ def _build_recursive(cmin, cmax, centroid, idx, nodes, order):
     return node_id
 
 
-def build_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> dict:
-    """Build the threaded BVH over triangles (v0, v0+e1, v0+e2)."""
+def build_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
+              prefer_native: bool = True) -> dict:
+    """Build the threaded BVH over triangles (v0, v0+e1, v0+e2).
+
+    Uses the C++ builder (accel/cpp, ctypes) when available — the numpy
+    path below is its always-available correctness reference."""
+    if prefer_native:
+        from .native import build_bvh_native
+
+        out = build_bvh_native(np.asarray(v0, np.float32),
+                               np.asarray(e1, np.float32),
+                               np.asarray(e2, np.float32))
+        if out is not None:
+            return out
     t = v0.shape[0]
     p1 = v0 + e1
     p2 = v0 + e2

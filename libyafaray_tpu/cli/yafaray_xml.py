@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser(
@@ -34,6 +36,13 @@ def main(argv=None):
                     help="enable z-buffer pass")
     ap.add_argument("--film", default=None,
                     help="film save/load path for resume")
+    ap.add_argument("--badge", action="store_true",
+                    help="draw the parameter badge into the output image")
+    ap.add_argument("--logs", action="store_true",
+                    help="export render log as .txt and .html next to "
+                         "the output")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the render")
     ap.add_argument("--json-stats", action="store_true",
                     help="print one-line JSON render stats")
     ap.add_argument("--width", type=int, default=None)
@@ -69,19 +78,72 @@ def main(argv=None):
     if args.z_channel:
         scene.render_params["z_channel"] = True
 
-    def progress(p, total):
-        log.info("pass %d/%d", p, total)
+    from ..utils.observability import RenderLog
 
+    rlog = RenderLog(scene_name=os.path.basename(args.input))
+    rlog.set_params("render", dict(scene.render_params))
+    for iname, ip in scene.integrator_params.items():
+        rlog.set_params(f"integrator:{iname}", dict(ip))
+
+    def progress(p, total):
+        rlog.event("info", f"pass {p}/{total}")
+
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
     result = render_scene(scene, progress_cb=progress, film_path=args.film)
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
+        log.info("profiler trace written to %s", args.profile)
 
     out = args.output or os.path.splitext(args.input)[0] + ".png"
     if args.format:
         out = os.path.splitext(out)[0] + "." + args.format.lstrip(".")
-    save_image(out, result.image,
-               color_space=result.cfg.color_space, gamma=result.cfg.gamma)
+    passes = result.passes if getattr(result.cfg, "passes", ()) else {}
+    if passes and out.lower().endswith(".exr"):
+        # multilayer EXR: combined + every pass in one file (reference
+        # exrHandler multilayer output)
+        from ..io.image import save_multilayer_exr
+
+        layers = {"": result.image}
+        layers.update(passes)
+        save_multilayer_exr(out, layers)
+    else:
+        img = result.image
+        if args.badge:
+            from ..utils.observability import draw_badge
+            from .. import __version__
+
+            img = draw_badge(img, [
+                f"libyafaray_tpu {__version__} | {os.path.basename(args.input)}"
+                f" | {result.cfg.integrator}",
+                f"{result.cfg.width}x{result.cfg.height}"
+                f" | AA {result.cfg.aa_passes}x{result.cfg.aa_samples}"
+                f" | {result.mrays_per_sec:.1f} Mrays/s",
+            ])
+        save_image(out, img,
+                   color_space=result.cfg.color_space, gamma=result.cfg.gamma)
+        for name, plane in passes.items():
+            base, ext = os.path.splitext(out)
+            if plane.shape[-1] == 1:
+                plane = np.repeat(plane, 3, axis=-1)
+            elif plane.shape[-1] == 2:
+                plane = np.concatenate(
+                    [plane, np.zeros_like(plane[..., :1])], axis=-1)
+            save_image(f"{base}.{name}{ext}", plane,
+                       color_space="linear")
     wall = time.perf_counter() - t0
     log.info("wrote %s  [%.2fs total, %.1f Mrays/s]", out, wall,
              result.mrays_per_sec)
+    if args.logs:
+        base = os.path.splitext(out)[0]
+        rlog.event("info", f"wrote {out}")
+        rlog.set_params("stats", dict(result.stats))
+        rlog.export_txt(base + ".log.txt")
+        rlog.export_html(base + ".log.html")
     if args.json_stats:
         print(json.dumps(dict(
             output=out, wall_s=wall, render_s=result.stats["render_s"],

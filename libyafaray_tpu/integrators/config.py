@@ -67,6 +67,7 @@ class RenderConfig:
     color_space: str = "sRGB"
     gamma: float = 1.0
     z_channel: bool = False
+    passes: tuple = ()  # render pass names (film/passes.py)
     # film persistence
     film_save_load: str = "none"  # none|save|load-save
     autosave_interval_type: str = "none"  # none|pass|time
@@ -74,6 +75,18 @@ class RenderConfig:
     background_name: str = ""
     tiles_order: str = "linear"
     threads: int = -1
+    # wavefront tuning: samples per pixel advanced per jitted step
+    # (amortizes kernel-launch overhead; lanes = H*W*spp_batch)
+    spp_batch: int = 1
+
+
+def _collect_passes(render: ParamMap) -> tuple:
+    """Pass selection: `render_passes` space-separated names, plus the
+    reference's z_channel flag; unknown names warn+ignore downstream."""
+    names = tuple(render.get_str("render_passes", "").split())
+    if render.get_bool("z_channel", False) and "z-depth-norm" not in names:
+        names = names + ("z-depth-norm",)
+    return names
 
 
 def config_from_params(render: ParamMap, integ: ParamMap,
@@ -128,6 +141,7 @@ def config_from_params(render: ParamMap, integ: ParamMap,
         color_space=render.get_str("color_space", "sRGB"),
         gamma=render.get_float("gamma", 1.0),
         z_channel=render.get_bool("z_channel", False),
+        passes=_collect_passes(render),
         film_save_load=render.get_str("film_save_load", "none"),
         autosave_interval_type=render.get_str(
             "images_autosave_interval_type", "none"),

@@ -6,9 +6,10 @@ config) pair that advances every pixel by one sample:
 
     sample_step : (scene arrays, film, flags) -> film'
       generate rays  (camera.shoot_rays over pixel lanes, QMC dims 0..3)
-      unrolled bounce loop (static depth):
-        closest_hit -> surface point -> emission w/ MIS -> NEE (all lights,
-        static loop, shadow kernels) -> sample_bsdf -> Russian roulette
+      bounce 0 explicit (full per-light sample counts for NEE),
+      bounces 1..N under lax.scan (dynamic QMC dims; 1 NEE sample/light) —
+      the scan keeps the compiled graph small: the bounce body is traced
+      once, not once per depth.
       splat into film planes (scatter-free, film/imagefilm.py)
 
 Everything is SoA over N = H·W lanes; dead lanes are masked, not compacted
@@ -20,10 +21,9 @@ delta.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..backgrounds.base import eval_background
 from ..cameras.base import shoot_rays
@@ -33,6 +33,7 @@ from ..core.sampling import power_heuristic, sample_cos_hemisphere
 from ..film.imagefilm import film_splat
 from ..lights import base as lightmod
 from ..materials import bsdf
+from ..materials import blend as blendmod
 from ..materials.base import gather_rows
 from ..ops import intersect as isect
 from .config import RenderConfig
@@ -45,7 +46,9 @@ def _closest_hit(scene_arrays, static, org, dirn, tmin=None, tmax=None):
         return closest_hit_bvh(scene_arrays["bvh"], scene_arrays["tris"],
                                org, dirn, tmin, tmax)
     return isect.closest_hit_brute(scene_arrays["tris"], org, dirn, tmin,
-                                   tmax, chunk=static.chunk)
+                                   tmax, chunk=static.chunk,
+                                   geom_pack=scene_arrays.get(
+                                       "tri_geom_pack"))
 
 
 def _shadow_transmission(scene_arrays, static, cfg, org, dirn, dist):
@@ -63,25 +66,25 @@ def _shadow_transmission(scene_arrays, static, cfg, org, dirn, dist):
 
 
 def _surface_point(scene_arrays, hit, org, dirn):
-    tri = jnp.clip(hit.tri, 0, scene_arrays["tri_pos"].shape[0] - 1)
+    """Hit -> shading record.  All per-triangle attributes come from ONE
+    packed gather (tri_shade_pack: pos 0:9, normal 9:18, uv 18:24,
+    geo_n 24:27, mat 27, light_id 28) — TPU gathers have a large fixed
+    cost, so one wide gather beats five narrow ones."""
+    tri = jnp.clip(hit.tri, 0, scene_arrays["tri_shade_pack"].shape[0] - 1)
     b1, b2 = hit.u, hit.v
     b0 = 1.0 - b1 - b2
-    pos = scene_arrays["tri_pos"][tri]  # (N,3,3)
-    nrm = scene_arrays["tri_normal"][tri]
-    uv = scene_arrays["tri_uv"][tri]
-    p = (b0[..., None] * pos[:, 0] + b1[..., None] * pos[:, 1]
-         + b2[..., None] * pos[:, 2])
+    pk = scene_arrays["tri_shade_pack"][tri]  # (N, 29)
+    p0, p1, p2 = pk[:, 0:3], pk[:, 3:6], pk[:, 6:9]
+    n0, n1, n2 = pk[:, 9:12], pk[:, 12:15], pk[:, 15:18]
+    uv0, uv1, uv2 = pk[:, 18:20], pk[:, 20:22], pk[:, 22:24]
+    p = b0[..., None] * p0 + b1[..., None] * p1 + b2[..., None] * p2
     n = vmath.normalize(
-        b0[..., None] * nrm[:, 0] + b1[..., None] * nrm[:, 1]
-        + b2[..., None] * nrm[:, 2]
-    )
-    ng = scene_arrays["tri_geo_n"][tri]
+        b0[..., None] * n0 + b1[..., None] * n1 + b2[..., None] * n2)
     return dict(
-        p=p, n=n, ng=ng,
-        uv=(b0[..., None] * uv[:, 0] + b1[..., None] * uv[:, 1]
-            + b2[..., None] * uv[:, 2]),
-        mat=scene_arrays["tri_mat"][tri],
-        light_id=scene_arrays["tri_light_id"][tri],
+        p=p, n=n, ng=pk[:, 24:27],
+        uv=b0[..., None] * uv0 + b1[..., None] * uv1 + b2[..., None] * uv2,
+        mat=pk[:, 27].astype(jnp.int32),
+        light_id=pk[:, 28].astype(jnp.int32),
         t=hit.t, tri=tri,
     )
 
@@ -96,53 +99,91 @@ _LIGHT_SAMPLERS = {
 }
 
 
+def _sample_one_light(scene_arrays, static, li, ls, lrow, p, u1, u2):
+    if ls.ltype == lightmod.LT_MESH:
+        tri_cdf = scene_arrays[f"mlight_cdf_{li}"]
+        tri_pos = lax.slice_in_dim(
+            scene_arrays["tri_pos"], ls.tri_start,
+            ls.tri_start + ls.tri_count, axis=0)
+        return lightmod.sample_mesh_light(lrow, p, u1, u2, tri_cdf, tri_pos)
+    if ls.ltype == lightmod.LT_BACKGROUND:
+        from ..lights.bglight import sample_bg_light
+
+        return sample_bg_light(scene_arrays, static.bg, p, u1, u2)
+    if ls.ltype == lightmod.LT_IES:
+        from ..lights.ies import apply_ies_profile
+
+        smp = lightmod.sample_point(lrow, p, u1, u2)
+        fac = apply_ies_profile(scene_arrays[f"ies_{li}"],
+                                lrow["direction"], smp["wi"])
+        smp["li"] = smp["li"] * fac[..., None]
+        return smp
+    return _LIGHT_SAMPLERS[ls.ltype](lrow, p, u1, u2)
+
+
 def _direct_lighting(scene_arrays, static, cfg, sp, row, wo, n_f,
-                     s_idx, skey, bounce_dim0, ns_scale=1):
+                     s_idx, skey, bounce_dim, ns_scale=1):
     """NEE with two-strategy MIS over all enabled lights (reference
     estimateAllDirectLight / estimateOneDirect).  Returns (L, n_shadow_rays).
+    `bounce_dim` may be a traced dim base (dynamic inside the bounce scan).
     ns_scale=1 uses each light's full `samples` count (primary vertices);
     0 forces 1 sample per light (deep path vertices)."""
     L = jnp.zeros_like(sp["p"])
     nrays = 0
+    dyn = not isinstance(bounce_dim, int)
+    dim_u = bounce_dim + qmc.SLOT_LIGHT_U
+    dim_v = bounce_dim + qmc.SLOT_LIGHT_V
+
     for li, ls in enumerate(static.lights):
         if not ls.enabled or ls.photon_only:
             continue
-        if ls.ltype == lightmod.LT_MESH or ls.ltype == 7:
-            continue  # meshlight/bglight NEE wired in their stages
         lrow = lightmod.light_row(scene_arrays["lights"], li)
-        sampler = _LIGHT_SAMPLERS[ls.ltype]
         ns = max(1, ls.samples) if ns_scale else 1
-        accum = jnp.zeros_like(L)
-        for s in range(ns):
+        skey_l = qmc.hash_combine(skey, jnp.uint32(0xABCD01 + 131 * li))
+
+        def one_sample(s):
             sub_idx = s_idx * ns + s
-            skey_l = qmc.hash_combine(skey, jnp.uint32(0xABCD01 + 131 * li))
-            u1 = qmc.sample_dim(sub_idx, bounce_dim0 + qmc.SLOT_LIGHT_U,
-                                skey_l)
-            u2 = qmc.sample_dim(sub_idx, bounce_dim0 + qmc.SLOT_LIGHT_V,
-                                skey_l)
-            smp = sampler(lrow, sp["p"], u1, u2)
+            if dyn:
+                u1 = qmc.dynamic_sample_dim(sub_idx, dim_u, skey_l)
+                u2 = qmc.dynamic_sample_dim(sub_idx, dim_v, skey_l)
+            else:
+                u1, u2 = qmc.sample_dim_pair(sub_idx, dim_u, skey_l)
+            smp = _sample_one_light(scene_arrays, static, li, ls, lrow,
+                                    sp["p"], u1, u2)
             cos_i = vmath.dot(sp["n"], smp["wi"])
-            f = bsdf.eval_bsdf(row, sp["n"], sp["ng"], wo, smp["wi"])
+            f = blendmod.eval_bsdf(scene_arrays["materials"], row,
+                                   sp["n"], sp["ng"], wo, smp["wi"],
+                                   static.has_blend,
+                                   families=static.mat_families)
             contrib_w = jnp.abs(cos_i) / jnp.maximum(smp["pdf"], 1e-9)
             ok = smp["valid"] & (smp["pdf"] > 1e-9)
-            # shadow test
             if ls.cast_shadows:
                 org_s = sp["p"] + n_f * jnp.sign(cos_i)[..., None] * \
                     static.shadow_bias
                 tr = _shadow_transmission(scene_arrays, static, cfg, org_s,
                                           smp["wi"], smp["dist"])
-                nrays += 1
             else:
                 tr = jnp.ones_like(f)
             term = f * smp["li"] * tr * contrib_w[..., None]
             if (not ls.is_delta) and ls.intersectable:
-                # strategy 1 MIS weight vs BSDF sampling
-                bpdf = bsdf.pdf_bsdf(row, sp["n"], sp["ng"], wo, smp["wi"])
+                bpdf = blendmod.pdf_bsdf(scene_arrays["materials"],
+                                         row, sp["n"], sp["ng"], wo,
+                                         smp["wi"], static.has_blend,
+                                         families=static.mat_families)
                 w = power_heuristic(smp["pdf"], bpdf)
                 term = term * w[..., None]
-                # strategy 2 (BSDF sample hitting the light) is accounted at
-                # emission hits via prev_pdf MIS in the bounce loop
-            accum = accum + jnp.where(ok[..., None], term, 0.0)
+            return jnp.where(ok[..., None], term, 0.0)
+
+        if ns == 1:
+            accum = one_sample(jnp.uint32(0))
+        else:
+            def body(carry, s):
+                return carry + one_sample(s), None
+
+            accum, _ = lax.scan(body, jnp.zeros_like(L),
+                                jnp.arange(ns, dtype=jnp.uint32))
+        if ls.cast_shadows:
+            nrays += ns
         L = L + accum / ns
     return L, nrays
 
@@ -150,17 +191,19 @@ def _direct_lighting(scene_arrays, static, cfg, sp, row, wo, n_f,
 def _ambient_occlusion(scene_arrays, static, cfg, sp, row, wo, n_f,
                        s_idx, skey):
     """sampleAmbientOcclusion parity (SURVEY §2.10)."""
-    ao = jnp.zeros_like(sp["p"])
     ao_col = jnp.asarray(cfg.ao_color, jnp.float32)
-    for s in range(cfg.ao_samples):
-        skey_a = qmc.hash_combine(skey, jnp.uint32(0xA0A0 + s))
-        u1 = qmc.sample_dim(s_idx, qmc.BOUNCE_DIMS_START, skey_a)
-        u2 = qmc.sample_dim(s_idx, qmc.BOUNCE_DIMS_START + 1, skey_a)
-        d, pdf = sample_cos_hemisphere(n_f, u1, u2)
+
+    def body(carry, s):
+        skey_a = qmc.hash_combine(skey, jnp.uint32(0xA0A0) + s)
+        u1, u2 = qmc.sample_dim_pair(s_idx, qmc.BOUNCE_DIMS_START, skey_a)
+        d, _ = sample_cos_hemisphere(n_f, u1, u2)
         org_s = sp["p"] + n_f * static.shadow_bias
         dist = jnp.full(u1.shape, cfg.ao_distance, jnp.float32)
         tr = _shadow_transmission(scene_arrays, static, cfg, org_s, d, dist)
-        ao = ao + tr * row["diffuse_color"]
+        return carry + tr * row["diffuse_color"], None
+
+    ao, _ = lax.scan(body, jnp.zeros_like(sp["p"]),
+                     jnp.arange(cfg.ao_samples, dtype=jnp.uint32))
     return ao * ao_col / cfg.ao_samples
 
 
@@ -173,146 +216,266 @@ def make_sample_step(static, camera, cfg: RenderConfig,
     """
     mode = mode or ("path" if cfg.integrator == "pathtracing" else "direct")
     h, w = cfg.height, cfg.width
-    n = h * w
+    spb = max(1, cfg.spp_batch)
+    n = h * w * spb
     n_bounces = (cfg.bounces if mode == "path" else cfg.raydepth)
-    py, px = jnp.divmod(jnp.arange(n, dtype=jnp.int32), w)
+    has_bg_light = any(
+        ls.ltype == lightmod.LT_BACKGROUND and ls.enabled
+        for ls in static.lights
+    )
+    lane_pix = jnp.arange(n, dtype=jnp.int32) % (h * w)
+    lane_k = (jnp.arange(n, dtype=jnp.int32) // (h * w)).astype(jnp.uint32)
+    py, px = jnp.divmod(lane_pix, w)
     pixel_hash = qmc.hash_u32(px.astype(jnp.uint32)
                               ^ (py.astype(jnp.uint32) << 16))
 
-    def sample_step(scene_arrays, film, flags):
-        s_idx = film["nsamples"].reshape(-1).astype(jnp.uint32)
-        active = flags.reshape(-1)
+    def shade_vertex(scene_arrays, state, bounce_dim, bounce_idx, s_idx,
+                     first: bool):
+        """One path vertex: intersect, add bg/emission (MIS), NEE, sample
+        the continuation.  `state` carries the wavefront lanes."""
+        (org, dirn, throughput, alive, spec_mask, prev_pdf, medium_sigma,
+         wavelength, L, nrays) = state
+        mats = scene_arrays["materials"]
+        dyn = not isinstance(bounce_dim, int)
 
-        dx = qmc.sample_dim(s_idx, qmc.DIM_PIXEL_X, pixel_hash)
-        dy = qmc.sample_dim(s_idx, qmc.DIM_PIXEL_Y, pixel_hash)
-        lu = qmc.sample_dim(s_idx, qmc.DIM_LENS_U, pixel_hash)
-        lv = qmc.sample_dim(s_idx, qmc.DIM_LENS_V, pixel_hash)
+        hit = _closest_hit(scene_arrays, static, org, dirn,
+                           tmin=jnp.full((n,), static.ray_min_dist,
+                                         jnp.float32))
+        seg = jnp.where(hit.hit, hit.t, 0.0)
+        throughput = throughput * jnp.exp(-medium_sigma * seg[..., None])
+
+        if first and static.volumes and cfg.vol_integrator not in ("none",
+                                                                   ""):
+            from ..volumes.integrate import integrate_volume
+
+            def _shadow(o, d, dist):
+                return _shadow_transmission(scene_arrays, static, cfg, o, d,
+                                            dist)
+
+            vdist = jnp.where(hit.hit, hit.t, 1e8)
+            l_vol, t_vol = integrate_volume(
+                static.volumes, cfg.vol_integrator, scene_arrays, static,
+                cfg, _shadow, org, dirn, vdist, s_idx, pixel_hash,
+            )
+            L = L + jnp.where(alive[..., None], throughput * l_vol, 0.0)
+            throughput = throughput * t_vol[..., None]
+
+        # escaped rays: background (MIS vs the IBL light's NEE strategy)
+        bg = eval_background(static.bg, scene_arrays.get("bg_image"), dirn)
+        escape = alive & ~hit.hit
+        if has_bg_light:
+            from ..lights.bglight import pdf_bg_dir
+
+            pdf_bg = pdf_bg_dir(scene_arrays, static.bg, dirn)
+            w_bg = jnp.where(spec_mask, 1.0,
+                             power_heuristic(prev_pdf, pdf_bg))
+            bg = bg * w_bg[..., None]
+        L = L + jnp.where(escape[..., None], throughput * bg, 0.0)
+        alive = alive & hit.hit
+
+        sp = _surface_point(scene_arrays, hit, org, dirn)
+        wo = -dirn
+        row = gather_rows(mats, sp["mat"])
+        if static.textures:
+            # initBSDF analog: shader-node/texture overrides + bump
+            from ..textures.eval import apply_textures, bump_normal
+
+            row = apply_textures(scene_arrays, static, row, sp)
+            sp = dict(sp, n=bump_normal(scene_arrays, static, row, sp))
+
+        # ---- emission with MIS against NEE ----
+        emit = blendmod.emission(mats, row, sp["ng"], wo,
+                                 static.has_blend)
+        li_id = sp["light_id"]
+        is_light_tri = li_id >= 0
+        if len(static.lights):
+            lpk = scene_arrays["lights"]["hit_pack"][jnp.maximum(li_id, 0)]
+            area_l = lpk[:, 0]
+            dbl = lpk[:, 1] > 0.5
+            hr = lpk[:, 2:5]
+            front = (vmath.dot(sp["ng"], wo) > 0.0) | dbl
+            emit = emit + jnp.where((is_light_tri & front)[..., None],
+                                    hr, 0.0)
+        else:
+            area_l = jnp.ones((n,), jnp.float32)
+        cos_l = jnp.abs(vmath.dot(sp["ng"], wo))
+        pdf_light_hit = (hit.t * hit.t) / jnp.maximum(
+            area_l * jnp.maximum(cos_l, 1e-6), 1e-9)
+        mis_w = jnp.where(
+            is_light_tri & ~spec_mask,
+            power_heuristic(prev_pdf, pdf_light_hit),
+            1.0,
+        )
+        L = L + jnp.where(alive[..., None],
+                          throughput * emit * mis_w[..., None], 0.0)
+
+        # ---- shading frame ----
+        backface = vmath.dot(sp["ng"], wo) < 0.0
+        n_sh = jnp.where(backface[..., None], -sp["n"], sp["n"])
+        ng_sh = jnp.where(backface[..., None], -sp["ng"], sp["ng"])
+        sp_sh = dict(sp, n=n_sh, ng=ng_sh)
+
+        if dyn:
+            skey_b = qmc.hash_combine(pixel_hash,
+                                      bounce_idx.astype(jnp.uint32))
+        else:
+            skey_b = qmc.hash_combine(pixel_hash, jnp.uint32(bounce_idx))
+
+        # ---- NEE ----
+        Ld, sh_rays = _direct_lighting(
+            scene_arrays, static, cfg, sp_sh, row, wo, ng_sh,
+            s_idx, skey_b, bounce_dim, 1 if first else 0,
+        )
+        if cfg.aa_clamp_indirect > 0.0 and not first:
+            m = jnp.max(Ld, axis=-1, keepdims=True)
+            Ld = Ld * jnp.where(
+                m > cfg.aa_clamp_indirect,
+                cfg.aa_clamp_indirect / jnp.maximum(m, 1e-9), 1.0)
+        L = L + jnp.where(alive[..., None], throughput * Ld, 0.0)
+        nrays = nrays + sh_rays * jnp.sum(alive.astype(jnp.float32))
+
+        if cfg.do_ao and mode == "direct" and first:
+            ao = _ambient_occlusion(scene_arrays, static, cfg, sp_sh,
+                                    row, wo, ng_sh, s_idx, skey_b)
+            L = L + jnp.where(alive[..., None], throughput * ao, 0.0)
+
+        # ---- continuation ----
+        if dyn:
+            u1 = qmc.dynamic_sample_dim(s_idx, bounce_dim + qmc.SLOT_BSDF_U,
+                                        skey_b)
+            u2 = qmc.dynamic_sample_dim(s_idx, bounce_dim + qmc.SLOT_BSDF_V,
+                                        skey_b)
+            ul = qmc.dynamic_sample_dim(
+                s_idx, bounce_dim + qmc.SLOT_LIGHT_PICK, skey_b)
+            u_rr = qmc.dynamic_sample_dim(s_idx, bounce_dim + qmc.SLOT_RR,
+                                          skey_b)
+        else:
+            u1, u2 = qmc.sample_dim_pair(s_idx, bounce_dim + qmc.SLOT_BSDF_U,
+                                         skey_b)
+            ul, u_rr = qmc.sample_dim_pair(
+                s_idx, bounce_dim + qmc.SLOT_LIGHT_PICK, skey_b)
+        smp = blendmod.sample_bsdf(mats, row, n_sh, ng_sh, wo, u1, u2,
+                                   ul, static.has_blend,
+                                   wavelength=wavelength,
+                                   families=static.mat_families)
+        wavelength = smp["new_wavelength"]
+
+        if mode == "direct":
+            cont = smp["specular"]
+        else:
+            cont = jnp.ones_like(smp["specular"])
+        alive = alive & smp["valid"] & cont
+        throughput = throughput * smp["tp"]
+
+        # Russian roulette (reference: survival = max component)
+        if mode == "path":
+            q = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
+            if dyn:
+                do_rr = bounce_idx >= cfg.rr_min_bounces
+            else:
+                do_rr = jnp.asarray(bounce_idx >= cfg.rr_min_bounces)
+            kill = do_rr & (u_rr > q)
+            alive = alive & ~kill
+            throughput = jnp.where(do_rr,
+                                   throughput / q[..., None], throughput)
+
+        sig = row["absorption_sigma"]
+        medium_sigma = jnp.where(
+            smp["entering"][..., None], sig,
+            jnp.where((smp["transmit"] & ~smp["entering"])[..., None],
+                      0.0, medium_sigma),
+        )
+        off = jnp.where(smp["transmit"], -1.0, 1.0)[..., None]
+        org = sp["p"] + ng_sh * off * static.shadow_bias
+        dirn = smp["wi"]
+        spec_mask = smp["specular"]
+        prev_pdf = smp["pdf"]
+        nrays = nrays + jnp.sum(alive.astype(jnp.float32))
+        state = (org, dirn, throughput, alive, spec_mask, prev_pdf,
+                 medium_sigma, wavelength, L, nrays)
+        if first:
+            # primary-hit attributes for render passes / AOVs (§2.11)
+            aux = dict(
+                z=jnp.where(hit.hit, hit.t, 0.0),
+                normal=jnp.where(hit.hit[..., None], n_sh, 0.0),
+                geo_normal=jnp.where(hit.hit[..., None], ng_sh, 0.0),
+                uv=jnp.where(hit.hit[..., None], sp["uv"], 0.0),
+                mat_index=sp["mat"].astype(jnp.float32) * hit.hit,
+                obj_index=sp["tri"].astype(jnp.float32) * hit.hit,
+                diffuse_color=jnp.where(hit.hit[..., None],
+                                        row["diffuse_color"], 0.0),
+                emit=jnp.where(alive[..., None], emit, 0.0),
+                direct=jnp.where(alive[..., None], Ld, 0.0),
+            )
+            return state, aux
+        return state
+
+    def sample_step(scene_arrays, film, flags):
+        base_idx = film["nsamples"].reshape(-1).astype(jnp.uint32)
+        s_idx = jnp.tile(base_idx, spb) + lane_k
+        active = jnp.tile(flags.reshape(-1), spb)
+
+        dx, dy = qmc.sample_dim_pair(s_idx, qmc.DIM_PIXEL_X, pixel_hash)
+        lu, lv = qmc.sample_dim_pair(s_idx, qmc.DIM_LENS_U, pixel_hash)
         org, dirn, wt = shoot_rays(camera, px.astype(jnp.float32) + dx,
                                    py.astype(jnp.float32) + dy, lu, lv)
 
-        L = jnp.zeros((n, 3), jnp.float32)
-        throughput = jnp.ones((n, 3), jnp.float32)
-        alive = active & (wt > 0.0)
-        spec_mask = jnp.ones((n,), jnp.bool_)  # primary hits count emission
-        prev_pdf = jnp.zeros((n,), jnp.float32)
-        prev_p = org
-        medium_sigma = jnp.zeros((n, 3), jnp.float32)
-        nrays = jnp.sum(alive.astype(jnp.float32))
-        mats = scene_arrays["materials"]
-
-        for bounce in range(n_bounces + 1):
-            hit = _closest_hit(scene_arrays, static, org, dirn,
-                               tmin=jnp.full((n,), static.ray_min_dist,
-                                             jnp.float32))
-            # Beer-Lambert through the current medium (glass absorption)
-            seg = jnp.where(hit.hit, hit.t, 0.0)
-            throughput = throughput * jnp.exp(-medium_sigma * seg[..., None])
-
-            # escaped rays: background
-            bg = eval_background(static.bg, scene_arrays.get("bg_image"),
-                                 dirn)
-            escape = alive & ~hit.hit
-            L = L + jnp.where(escape[..., None], throughput * bg, 0.0)
-            alive = alive & hit.hit
-
-            sp = _surface_point(scene_arrays, hit, org, dirn)
-            wo = -dirn
-            row = gather_rows(mats, sp["mat"])
-
-            # ---- emission with MIS against NEE ----
-            emit = bsdf.emission(row, sp["ng"], wo)
-            li_id = sp["light_id"]
-            is_light_tri = li_id >= 0
-            area_l = scene_arrays["lights"]["area"][jnp.maximum(li_id, 0)] \
-                if len(static.lights) else jnp.ones((n,), jnp.float32)
-            cos_l = jnp.abs(vmath.dot(sp["ng"], wo))
-            pdf_light_hit = (hit.t * hit.t) / jnp.maximum(
-                area_l * jnp.maximum(cos_l, 1e-6), 1e-9)
-            mis_w = jnp.where(
-                is_light_tri & ~spec_mask,
-                power_heuristic(prev_pdf, pdf_light_hit),
-                1.0,
-            )
-            L = L + jnp.where(alive[..., None],
-                              throughput * emit * mis_w[..., None], 0.0)
-
-            # ---- shading frame ----
-            backface = vmath.dot(sp["ng"], wo) < 0.0
-            n_sh = jnp.where(backface[..., None], -sp["n"], sp["n"])
-            ng_sh = jnp.where(backface[..., None], -sp["ng"], sp["ng"])
-            sp_sh = dict(sp, n=n_sh, ng=ng_sh)
-            n_f = ng_sh
-
-            bdim = qmc.bounce_dim(bounce, 0)
-            skey_b = qmc.hash_combine(pixel_hash, jnp.uint32(bounce))
-
-            # ---- NEE ----
-            ns_scale = 1 if bounce == 0 else 0
-            Ld, sh_rays = _direct_lighting(
-                scene_arrays, static, cfg, sp_sh, row, wo, n_f,
-                s_idx, skey_b, bdim, ns_scale,
-            )
-            if cfg.aa_clamp_indirect > 0.0 and bounce > 0:
-                m = jnp.max(Ld, axis=-1, keepdims=True)
-                Ld = Ld * jnp.where(
-                    m > cfg.aa_clamp_indirect,
-                    cfg.aa_clamp_indirect / jnp.maximum(m, 1e-9), 1.0)
-            L = L + jnp.where(alive[..., None], throughput * Ld, 0.0)
-            nrays = nrays + sh_rays * jnp.sum(alive.astype(jnp.float32))
-
-            if cfg.do_ao and mode == "direct" and bounce == 0:
-                ao = _ambient_occlusion(scene_arrays, static, cfg, sp_sh,
-                                        row, wo, n_f, s_idx, skey_b)
-                L = L + jnp.where(alive[..., None], throughput * ao, 0.0)
-
-            if bounce == n_bounces:
-                break
-
-            # ---- continuation ----
-            u1 = qmc.sample_dim(s_idx, bdim + qmc.SLOT_BSDF_U, skey_b)
-            u2 = qmc.sample_dim(s_idx, bdim + qmc.SLOT_BSDF_V, skey_b)
-            ul = qmc.sample_dim(s_idx, bdim + qmc.SLOT_LIGHT_PICK, skey_b)
-            smp = bsdf.sample_bsdf(row, n_sh, ng_sh, wo, u1, u2, ul)
-
-            if mode == "direct":
-                # directlighting recurses only through delta chains
-                cont = smp["specular"]
-            else:
-                cont = jnp.ones_like(smp["specular"])
-            alive = alive & smp["valid"] & cont
-            throughput = throughput * smp["tp"]
-
-            # Russian roulette (reference: survival = max component)
-            if mode == "path" and bounce >= cfg.rr_min_bounces:
-                u_rr = qmc.sample_dim(s_idx, bdim + qmc.SLOT_RR, skey_b)
-                q = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
-                kill = u_rr > q
-                alive = alive & ~kill
-                throughput = throughput / q[..., None]
-
-            # medium tracking for glass absorption
-            sig = row["absorption_sigma"]
-            medium_sigma = jnp.where(
-                smp["entering"][..., None], sig,
-                jnp.where((smp["transmit"] & ~smp["entering"])[..., None],
-                          0.0, medium_sigma),
-            )
-
-            off = jnp.where(smp["transmit"], -1.0, 1.0)[..., None]
-            prev_p = sp["p"]
-            org = sp["p"] + ng_sh * off * static.shadow_bias
-            dirn = smp["wi"]
-            spec_mask = smp["specular"]
-            prev_pdf = smp["pdf"]
-            nrays = nrays + jnp.sum(alive.astype(jnp.float32))
-
-        L = L * wt[..., None]
-        film = film_splat(
-            film, L.reshape(h, w, 3), dx.reshape(h, w), dy.reshape(h, w),
-            flags.astype(jnp.float32), cfg.filter_type, cfg.aa_pixelwidth,
-            clamp_samples=cfg.aa_clamp_samples,
+        state = (
+            org, dirn,
+            jnp.ones((n, 3), jnp.float32),  # throughput
+            active & (wt > 0.0),  # alive
+            jnp.ones((n,), jnp.bool_),  # spec_mask (primary counts emission)
+            jnp.zeros((n,), jnp.float32),  # prev_pdf
+            jnp.zeros((n, 3), jnp.float32),  # medium_sigma
+            jnp.full((n,), -1.0, jnp.float32),  # wavelength (-1 chromatic)
+            jnp.zeros((n, 3), jnp.float32),  # L
+            jnp.sum((active & (wt > 0.0)).astype(jnp.float32)),  # nrays
         )
+
+        # bounce 0: full NEE sample counts, static dims
+        state, aux = shade_vertex(scene_arrays, state, qmc.bounce_dim(0, 0),
+                                  0, s_idx, first=True)
+
+        # bounces 1..n under scan: body traced once
+        if n_bounces >= 1:
+            def body(st, b):
+                bdim = (jnp.uint32(qmc.BOUNCE_DIMS_START)
+                        + b * jnp.uint32(qmc.DIMS_PER_BOUNCE))
+                st = shade_vertex(scene_arrays, st, bdim, b, s_idx,
+                                  first=False)
+                return st, None
+
+            state, _ = lax.scan(
+                body, state, jnp.arange(1, n_bounces + 1, dtype=jnp.uint32)
+            )
+
+        L = state[-2] * wt[..., None]
+        nrays = state[-1]
+        Ls = L.reshape(spb, h, w, 3)
+        dxs = dx.reshape(spb, h, w)
+        dys = dy.reshape(spb, h, w)
+        for k in range(spb):
+            film = film_splat(
+                film, Ls[k], dxs[k], dys[k],
+                flags.astype(jnp.float32), cfg.filter_type,
+                cfg.aa_pixelwidth, clamp_samples=cfg.aa_clamp_samples,
+            )
         film = dict(film, rays=film.get("rays", 0.0) + nrays)
+        # AOV planes: plain per-pixel mean accumulation (reference render
+        # passes; film_image divides by nsamples at flush)
+        act = flags.astype(jnp.float32).reshape(-1)
+        for key in film:
+            if not key.startswith("aov_"):
+                continue
+            name = key[4:]
+            val = aux.get(name)
+            if val is None:
+                continue
+            if val.ndim == 1:
+                val = val[..., None]
+            contrib = (val * act[..., None]).reshape(
+                spb, h, w, val.shape[-1]).sum(axis=0) / spb
+            film[key] = film[key] + contrib
         return film
 
     return sample_step

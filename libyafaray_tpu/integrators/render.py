@@ -32,6 +32,13 @@ class RenderResult:
         return np.asarray(film_image(self.film))
 
     @property
+    def passes(self) -> dict:
+        """name -> (H,W,C) numpy AOV planes (film/passes.py)."""
+        from ..film.passes import extract_passes
+
+        return extract_passes(self.film, getattr(self.cfg, "passes", ()))
+
+    @property
     def mrays_per_sec(self) -> float:
         t = max(self.stats.get("render_s", 0.0), 1e-9)
         return float(self.stats.get("rays", 0.0)) / t / 1e6
@@ -54,6 +61,10 @@ def render(cscene: CompiledScene, cfg: RenderConfig,
 
     film = film_init(cfg.height, cfg.width)
     film["rays"] = jnp.zeros((), jnp.float32)
+    if cfg.passes:
+        from ..film.passes import film_add_passes
+
+        film = film_add_passes(film, cfg.height, cfg.width, cfg.passes)
     start_pass = 0
 
     if cfg.film_save_load in ("load", "load-save") and film_path:
@@ -66,18 +77,26 @@ def render(cscene: CompiledScene, cfg: RenderConfig,
     ones = jnp.ones((cfg.height, cfg.width), jnp.bool_)
     t_compile0 = time.perf_counter()
     for p in range(start_pass, cfg.aa_passes):
+        spb = max(1, cfg.spp_batch)
         if p == 0:
             flags = ones
-            n_steps = cfg.aa_samples
+            n_steps = -(-cfg.aa_samples // spb)
         else:
             thr = cfg.aa_threshold
             flags = compute_aa_flags(
                 film, thr, cfg.aa_dark_detection, cfg.aa_dark_factor,
                 cfg.aa_detect_color_noise,
             )
-            n_steps = cfg.aa_inc_samples
+            n_steps = -(-cfg.aa_inc_samples // spb)
+        last_autosave = time.perf_counter()
         for s in range(n_steps):
             film = step_j(arrays, film, flags)
+            if (cfg.autosave_interval_type == "time" and film_path
+                    and time.perf_counter() - last_autosave
+                    > cfg.autosave_interval):
+                jax.block_until_ready(film["wsum"])
+                film_save(film_path, film, {"cfg": repr(cfg)}, p)
+                last_autosave = time.perf_counter()
         if progress_cb is not None:
             jax.block_until_ready(film["wsum"])
             progress_cb(p + 1, cfg.aa_passes)
@@ -115,7 +134,7 @@ def render_timed(cscene: CompiledScene, cfg: RenderConfig,
 
     film = fresh_film()
     t0 = time.perf_counter()
-    total = cfg.aa_samples * cfg.aa_passes
+    total = -(-cfg.aa_samples * cfg.aa_passes // max(1, cfg.spp_batch))
     for _ in range(total):
         film = step_j(arrays, film, flags)
     jax.block_until_ready(film["wsum"])

@@ -134,12 +134,24 @@ def light_from_params(params: ParamMap):
         row["intersectable"] = True
 
     elif lt == "ieslight":
-        row["ltype"] = LT_POINT  # IES profile modulation added in stage 7
+        from .base import LT_IES
+        from .ies import parse_ies
+
+        row["ltype"] = LT_IES
         row["p0"] = params.get_point("from")
+        to = np.asarray(params.get_point("to", (0, 0, -1)), np.float64)
+        d = to - np.asarray(row["p0"], np.float64)
+        n = np.linalg.norm(d)
+        row["direction"] = tuple(d / n) if n > 1e-12 else (0.0, 0.0, -1.0)
         row["intensity"] = tuple(color * power)
         row["is_delta"] = True
-        log.warning("ieslight: IES profile not yet applied; "
-                    "treating as point light")
+        ies_file = params.get_str("file", params.get_str("filename", ""))
+        try:
+            row["_ies_profile"] = parse_ies(ies_file)
+        except Exception as e:  # noqa: BLE001 — warn + isotropic fallback
+            log.warning("ieslight: cannot parse %r (%s); isotropic",
+                        ies_file, e)
+            row["_ies_profile"] = np.ones(91, np.float32)
 
     else:
         log.warning("unknown light type %r; using pointlight", lt)

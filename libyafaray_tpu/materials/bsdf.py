@@ -45,211 +45,266 @@ def _coat_kr(row, cos_o):
     return jnp.where(row["mtype"] == MT_COATED_GLOSSY, kr, 0.0)
 
 
-def eval_bsdf(row, n, ng, wo, wi):
+def _need(families, codes):
+    """Static family gating: SceneStatic.mat_families drives which family
+    blocks are traced at all (a Cornell box full of shinydiffuse never
+    pays for glossy/glass math)."""
+    return families is None or any(c in families for c in codes)
+
+
+def eval_bsdf(row, n, ng, wo, wi, families=None):
     """f(wo, wi) of all non-delta lobes. (N,3)."""
     cos_o = vmath.dot(n, wo)
     cos_i = vmath.dot(n, wi)
     same_side = (cos_i * cos_o) > 0.0
-
-    # --- shinydiffuse family --------------------------------------------
-    _, _, w_transl, w_diff = shinydiffuse_weights(row, cos_o)
-    on = oren_nayar_factor(row["sigma"], n, wo, wi)
-    f_diff = (w_diff * on * INV_PI)[..., None] * row["diffuse_color"]
-    f_transl = (w_transl * INV_PI)[..., None] * row["diffuse_color"]
-    f_shiny = jnp.where(same_side[..., None], f_diff, f_transl)
-
-    # --- glossy family ---------------------------------------------------
-    nf = vmath.face_forward(n, wo)
-    u, v = vmath.build_onb(nf)
-    wo_l = vmath.to_local(u, v, nf, wo)
-    wi_l = vmath.to_local(u, v, nf, wi)
-    f_g, f_d = glossy_eval_local(row, wo_l, wi_l)
-    coat = _coat_kr(row, cos_o)
-    f_glossy = (f_g + f_d) * (1.0 - coat)[..., None]
-    f_glossy = jnp.where(same_side[..., None], f_glossy, 0.0)
-
     mtype = row["mtype"]
-    f = jnp.where(
-        (mtype == MT_SHINYDIFFUSE)[..., None], f_shiny,
-        jnp.where(
+    f = jnp.zeros_like(row["diffuse_color"])
+
+    if _need(families, (MT_SHINYDIFFUSE,)):
+        _, _, w_transl, w_diff = shinydiffuse_weights(row, cos_o)
+        on = oren_nayar_factor(row["sigma"], n, wo, wi)
+        f_diff = (w_diff * on * INV_PI)[..., None] * row["diffuse_color"]
+        f_transl = (w_transl * INV_PI)[..., None] * row["diffuse_color"]
+        f_shiny = jnp.where(same_side[..., None], f_diff, f_transl)
+        f = jnp.where((mtype == MT_SHINYDIFFUSE)[..., None], f_shiny, f)
+
+    if _need(families, (MT_GLOSSY, MT_COATED_GLOSSY)):
+        nf = vmath.face_forward(n, wo)
+        u, v = vmath.build_onb(nf)
+        wo_l = vmath.to_local(u, v, nf, wo)
+        wi_l = vmath.to_local(u, v, nf, wi)
+        f_g, f_d = glossy_eval_local(row, wo_l, wi_l)
+        coat = _coat_kr(row, cos_o)
+        f_glossy = (f_g + f_d) * (1.0 - coat)[..., None]
+        f_glossy = jnp.where(same_side[..., None], f_glossy, 0.0)
+        f = jnp.where(
             ((mtype == MT_GLOSSY) | (mtype == MT_COATED_GLOSSY))[..., None],
-            f_glossy, 0.0,
-        ),
-    )
+            f_glossy, f,
+        )
     return f
 
 
-def pdf_bsdf(row, n, ng, wo, wi):
+def pdf_bsdf(row, n, ng, wo, wi, families=None):
     """pdf of sample_bsdf for non-delta directions (solid angle). (N,)."""
     cos_o = vmath.dot(n, wo)
     cos_i = vmath.dot(n, wi)
     same_side = (cos_i * cos_o) > 0.0
     abs_ci = jnp.abs(cos_i)
-
-    # shinydiffuse: lobe-pick probabilities mirror sample_bsdf below
-    w_m, w_t, w_tl, w_d = shinydiffuse_weights(row, cos_o)
-    tot = jnp.maximum(w_m + w_t + w_tl + w_d, 1e-8)
-    pdf_shiny = jnp.where(
-        same_side, (w_d / tot) * abs_ci * INV_PI, (w_tl / tot) * abs_ci * INV_PI
-    )
-
-    nf = vmath.face_forward(n, wo)
-    u, v = vmath.build_onb(nf)
-    wo_l = vmath.to_local(u, v, nf, wo)
-    wi_l = vmath.to_local(u, v, nf, wi)
-    p_diff = _glossy_pick_prob(row)
-    coat = _coat_kr(row, cos_o)
-    pdf_glossy = glossy_pdf_local(row, wo_l, wi_l, p_diff) * (1.0 - coat)
-    pdf_glossy = jnp.where(same_side, pdf_glossy, 0.0)
-
     mtype = row["mtype"]
-    return jnp.where(
-        mtype == MT_SHINYDIFFUSE, pdf_shiny,
-        jnp.where((mtype == MT_GLOSSY) | (mtype == MT_COATED_GLOSSY),
-                  pdf_glossy, 0.0),
-    )
+    pdf = jnp.zeros_like(cos_i)
+
+    if _need(families, (MT_SHINYDIFFUSE,)):
+        w_m, w_t, w_tl, w_d = shinydiffuse_weights(row, cos_o)
+        tot = jnp.maximum(w_m + w_t + w_tl + w_d, 1e-8)
+        pdf_shiny = jnp.where(
+            same_side, (w_d / tot) * abs_ci * INV_PI,
+            (w_tl / tot) * abs_ci * INV_PI,
+        )
+        pdf = jnp.where(mtype == MT_SHINYDIFFUSE, pdf_shiny, pdf)
+
+    if _need(families, (MT_GLOSSY, MT_COATED_GLOSSY)):
+        nf = vmath.face_forward(n, wo)
+        u, v = vmath.build_onb(nf)
+        wo_l = vmath.to_local(u, v, nf, wo)
+        wi_l = vmath.to_local(u, v, nf, wi)
+        p_diff = _glossy_pick_prob(row)
+        coat = _coat_kr(row, cos_o)
+        pdf_glossy = glossy_pdf_local(row, wo_l, wi_l, p_diff) * (1.0 - coat)
+        pdf_glossy = jnp.where(same_side, pdf_glossy, 0.0)
+        pdf = jnp.where(
+            (mtype == MT_GLOSSY) | (mtype == MT_COATED_GLOSSY),
+            pdf_glossy, pdf,
+        )
+    return pdf
 
 
-def sample_bsdf(row, n, ng, wo, u1, u2, u_lobe):
+def sample_bsdf(row, n, ng, wo, u1, u2, u_lobe, wavelength=None,
+                families=None):
     """Sample a continuation direction for every lane.
+
+    wavelength: optional (N,) spectral state for dispersion — <0 means the
+    lane is still chromatic (full RGB).  When a dispersive glass
+    (dispersion_power>0) transmits a chromatic lane, a wavelength is
+    sampled (Cauchy IOR + wl->RGB weight folded into tp — App. B glass
+    rules) and returned in `new_wavelength`.
 
     Returns dict with:
       wi (N,3), tp (N,3) throughput multiplier (= f·|cos|/pdf, delta lobes
       pre-folded), pdf (N,) solid-angle pdf for MIS (0 for delta),
       specular (N,) bool, transmit (N,) bool (crossed the surface),
-      entering (N,) bool (transmit into the object), valid (N,) bool.
+      entering (N,) bool (transmit into the object), valid (N,) bool,
+      new_wavelength (N,) updated spectral state (present iff wavelength
+      was given).
     """
     cos_o = vmath.dot(n, wo)
     nf = vmath.face_forward(n, wo)
     u, v = vmath.build_onb(nf)
     wo_l = vmath.to_local(u, v, nf, wo)
     mtype = row["mtype"]
+    need_shiny = _need(families, (MT_SHINYDIFFUSE,))
+    need_glossy = _need(families, (MT_GLOSSY, MT_COATED_GLOSSY))
+    need_glass = _need(families, (MT_GLASS, MT_ROUGH_GLASS, MT_NULL))
 
-    # ===================== shinydiffuse family ==========================
-    w_m, w_t, w_tl, w_d = shinydiffuse_weights(row, cos_o)
-    tot = jnp.maximum(w_m + w_t + w_tl + w_d, 1e-8)
-    p_m, p_t, p_tl = w_m / tot, w_t / tot, w_tl / tot
-    c0, c1, c2 = p_m, p_m + p_t, p_m + p_t + p_tl
-    pick_m = u_lobe < c0
-    pick_t = (~pick_m) & (u_lobe < c1)
-    pick_tl = (~pick_m) & (~pick_t) & (u_lobe < c2)
-    pick_d = (~pick_m) & (~pick_t) & (~pick_tl)
-
-    wi_diff, pdf_diff = sample_cos_hemisphere(nf, u1, u2)
-    wi_transl = -wi_diff
-    wi_mirror = vmath.reflect(wo, nf)
-    wi_transp = -wo
-
-    sh_wi = jnp.where(
-        pick_m[..., None], wi_mirror,
-        jnp.where(pick_t[..., None], wi_transp,
-                  jnp.where(pick_tl[..., None], wi_transl, wi_diff)),
-    )
-    on = oren_nayar_factor(row["sigma"], n, wo, wi_diff)
-    # diffuse: f·cos/(pdf·p_d) with f = w_d·on·ρ/π, pdf = cos/π ⇒ w_d·on·ρ/p_d
-    p_d = jnp.maximum(1.0 - c2, 1e-8)
-    tp_diff = (w_d * on / p_d)[..., None] * row["diffuse_color"]
-    tp_transl = (w_tl / jnp.maximum(p_tl, 1e-8))[..., None] * row["diffuse_color"]
-    tp_mirror = (w_m / jnp.maximum(p_m, 1e-8))[..., None] * row["mirror_color"]
-    tp_transp = (w_t / jnp.maximum(p_t, 1e-8))[..., None] * row["filter_color"]
-    sh_tp = jnp.where(
-        pick_m[..., None], tp_mirror,
-        jnp.where(pick_t[..., None], tp_transp,
-                  jnp.where(pick_tl[..., None], tp_transl, tp_diff)),
-    )
-    sh_pdf = jnp.where(pick_d, pdf_diff * p_d,
-                       jnp.where(pick_tl, pdf_diff * jnp.maximum(p_tl, 1e-8), 0.0))
-    sh_specular = pick_m | pick_t
-    sh_transmit = pick_t | pick_tl
-    sh_valid = tot > 1e-6
-
-    # ===================== glossy family ================================
-    p_diff = _glossy_pick_prob(row)
-    coat = _coat_kr(row, cos_o)
-    # coat pick first (coated_glossy only): prob = coat Kr
-    pick_coat = u_lobe < coat
-    u_rem = jnp.clip((u_lobe - coat) / jnp.maximum(1.0 - coat, 1e-8), 0.0, 1.0)
-    pick_gd = u_rem < p_diff  # diffuse under the coat
-
-    h_l = sample_blinn_h(row, u1, u2)
-    wo_h = vmath.dot(wo_l, h_l)
-    wi_g_l = 2.0 * wo_h[..., None] * h_l - wo_l
-    wi_glossy = vmath.from_local(u, v, nf, wi_g_l)
-    gl_wi = jnp.where(
-        pick_coat[..., None], wi_mirror,
-        jnp.where(pick_gd[..., None], wi_diff, wi_glossy),
-    )
-    wi_l_pick = vmath.to_local(u, v, nf, gl_wi)
-    f_g, f_d = glossy_eval_local(row, wo_l, wi_l_pick)
-    f_gl = (f_g + f_d) * (1.0 - coat)[..., None]
-    pdf_gl = glossy_pdf_local(row, wo_l, wi_l_pick, p_diff) * (1.0 - coat)
-    cos_i_gl = jnp.abs(wi_l_pick[..., 2])
-    gl_smooth_tp = f_gl * (cos_i_gl / jnp.maximum(pdf_gl, _MIN_PDF))[..., None]
-    gl_tp = jnp.where(pick_coat[..., None], row["mirror_color"], gl_smooth_tp)
-    gl_pdf = jnp.where(pick_coat, 0.0, pdf_gl)
-    gl_specular = pick_coat
-    gl_valid = jnp.where(pick_coat, jnp.ones_like(pick_coat),
-                         wi_l_pick[..., 2] > 1e-6)
-
-    # ===================== glass family (glass / rough_glass / null) ====
+    n_lanes = cos_o.shape[0]
+    wi = wo  # placeholder; overwritten per present family
+    tp = jnp.zeros((n_lanes, 3), jnp.float32)
+    pdf = jnp.zeros((n_lanes,), jnp.float32)
+    specular = jnp.zeros((n_lanes,), jnp.bool_)
+    transmit = jnp.zeros((n_lanes,), jnp.bool_)
+    valid = jnp.zeros((n_lanes,), jnp.bool_)
     entering = vmath.dot(ng, wo) > 0.0
-    ior = jnp.maximum(row["ior"], 1.0 + 1e-6)
-    eta = jnp.where(entering, ior, 1.0 / ior)
-    is_null = mtype == MT_NULL
-    eta = jnp.where(is_null, 1.0, eta)
 
-    # rough glass: perturb around a sampled half-vector, else exact normal
-    h_rough = vmath.from_local(u, v, nf, sample_blinn_h(row, u1, u2))
-    h_used = jnp.where((mtype == MT_ROUGH_GLASS)[..., None], h_rough, nf)
-    cos_oh = jnp.abs(vmath.dot(h_used, wo))
-    kr = vmath.fresnel_dielectric(cos_oh, eta)
-    kr = jnp.where(is_null, 0.0, kr)
-    wi_refr, refr_ok = vmath.refract(wo, h_used, eta)
-    kr = jnp.where(refr_ok, kr, 1.0)  # TIR
-    pick_refl = u_lobe < kr
-    gs_wi = jnp.where(pick_refl[..., None],
-                      vmath.reflect(wo, h_used), wi_refr)
-    tp_refl = jnp.where(refr_ok[..., None], row["mirror_color"],
-                        jnp.ones_like(row["mirror_color"]))
-    gs_tp = jnp.where(pick_refl[..., None], tp_refl, row["filter_color"])
-    gs_tp = jnp.where(is_null[..., None], 1.0, gs_tp)
-    gs_transmit = ~pick_refl
-    gs_valid = jnp.ones_like(pick_refl)
+    if need_shiny or need_glossy:
+        wi_diff, pdf_diff = sample_cos_hemisphere(nf, u1, u2)
+        wi_mirror = vmath.reflect(wo, nf)
 
-    # ===================== dispatch =====================================
     is_shiny = mtype == MT_SHINYDIFFUSE
     is_glossy = (mtype == MT_GLOSSY) | (mtype == MT_COATED_GLOSSY)
+    is_null = mtype == MT_NULL
     is_glass = (mtype == MT_GLASS) | (mtype == MT_ROUGH_GLASS) | is_null
-    is_light = mtype == MT_LIGHT
+    new_wl = wavelength
+    dispersive = row["dispersion_power"] > 1e-6
 
-    wi = jnp.where(
-        is_shiny[..., None], sh_wi,
-        jnp.where(is_glossy[..., None], gl_wi,
-                  jnp.where(is_glass[..., None], gs_wi, sh_wi)),
-    )
-    tp = jnp.where(
-        is_shiny[..., None], sh_tp,
-        jnp.where(is_glossy[..., None], gl_tp,
-                  jnp.where(is_glass[..., None], gs_tp, 0.0)),
-    )
-    pdf = jnp.where(is_shiny, sh_pdf, jnp.where(is_glossy, gl_pdf, 0.0))
-    specular = jnp.where(
-        is_shiny, sh_specular,
-        jnp.where(is_glossy, gl_specular, jnp.where(is_glass, True, False)),
-    )
-    transmit = jnp.where(is_shiny, sh_transmit,
-                         jnp.where(is_glass, gs_transmit, False))
-    valid = jnp.where(
-        is_shiny, sh_valid,
-        jnp.where(is_glossy, gl_valid,
-                  jnp.where(is_glass, gs_valid, ~is_light)),
-    )
+    # ===================== shinydiffuse family ==========================
+    if need_shiny:
+        w_m, w_t, w_tl, w_d = shinydiffuse_weights(row, cos_o)
+        tot = jnp.maximum(w_m + w_t + w_tl + w_d, 1e-8)
+        p_m, p_t, p_tl = w_m / tot, w_t / tot, w_tl / tot
+        c0, c1, c2 = p_m, p_m + p_t, p_m + p_t + p_tl
+        pick_m = u_lobe < c0
+        pick_t = (~pick_m) & (u_lobe < c1)
+        pick_tl = (~pick_m) & (~pick_t) & (u_lobe < c2)
+        pick_d = (~pick_m) & (~pick_t) & (~pick_tl)
+        wi_transl = -wi_diff
+        wi_transp = -wo
+
+        sh_wi = jnp.where(
+            pick_m[..., None], wi_mirror,
+            jnp.where(pick_t[..., None], wi_transp,
+                      jnp.where(pick_tl[..., None], wi_transl, wi_diff)),
+        )
+        on = oren_nayar_factor(row["sigma"], n, wo, wi_diff)
+        # diffuse: f·cos/(pdf·p_d), f = w_d·on·ρ/π, pdf = cos/π ⇒ w_d·on·ρ/p_d
+        p_d = jnp.maximum(1.0 - c2, 1e-8)
+        tp_diff = (w_d * on / p_d)[..., None] * row["diffuse_color"]
+        tp_transl = (w_tl / jnp.maximum(p_tl, 1e-8))[..., None] \
+            * row["diffuse_color"]
+        tp_mirror = (w_m / jnp.maximum(p_m, 1e-8))[..., None] \
+            * row["mirror_color"]
+        tp_transp = (w_t / jnp.maximum(p_t, 1e-8))[..., None] \
+            * row["filter_color"]
+        sh_tp = jnp.where(
+            pick_m[..., None], tp_mirror,
+            jnp.where(pick_t[..., None], tp_transp,
+                      jnp.where(pick_tl[..., None], tp_transl, tp_diff)),
+        )
+        sh_pdf = jnp.where(
+            pick_d, pdf_diff * p_d,
+            jnp.where(pick_tl, pdf_diff * jnp.maximum(p_tl, 1e-8), 0.0))
+        m = is_shiny
+        wi = jnp.where(m[..., None], sh_wi, wi)
+        tp = jnp.where(m[..., None], sh_tp, tp)
+        pdf = jnp.where(m, sh_pdf, pdf)
+        specular = jnp.where(m, pick_m | pick_t, specular)
+        transmit = jnp.where(m, pick_t | pick_tl, transmit)
+        valid = jnp.where(m, tot > 1e-6, valid)
+
+    # ===================== glossy family ================================
+    if need_glossy:
+        p_diff = _glossy_pick_prob(row)
+        coat = _coat_kr(row, cos_o)
+        pick_coat = u_lobe < coat  # dielectric coat (coated_glossy only)
+        u_rem = jnp.clip((u_lobe - coat) / jnp.maximum(1.0 - coat, 1e-8),
+                         0.0, 1.0)
+        pick_gd = u_rem < p_diff  # diffuse under the coat
+
+        h_l = sample_blinn_h(row, u1, u2)
+        wo_h = vmath.dot(wo_l, h_l)
+        wi_g_l = 2.0 * wo_h[..., None] * h_l - wo_l
+        wi_glossy = vmath.from_local(u, v, nf, wi_g_l)
+        gl_wi = jnp.where(
+            pick_coat[..., None], wi_mirror,
+            jnp.where(pick_gd[..., None], wi_diff, wi_glossy),
+        )
+        wi_l_pick = vmath.to_local(u, v, nf, gl_wi)
+        f_g, f_d = glossy_eval_local(row, wo_l, wi_l_pick)
+        f_gl = (f_g + f_d) * (1.0 - coat)[..., None]
+        pdf_gl = glossy_pdf_local(row, wo_l, wi_l_pick, p_diff) * (1.0 - coat)
+        cos_i_gl = jnp.abs(wi_l_pick[..., 2])
+        gl_smooth_tp = f_gl * (cos_i_gl
+                               / jnp.maximum(pdf_gl, _MIN_PDF))[..., None]
+        gl_tp = jnp.where(pick_coat[..., None], row["mirror_color"],
+                          gl_smooth_tp)
+        m = is_glossy
+        wi = jnp.where(m[..., None], gl_wi, wi)
+        tp = jnp.where(m[..., None], gl_tp, tp)
+        pdf = jnp.where(m, jnp.where(pick_coat, 0.0, pdf_gl), pdf)
+        specular = jnp.where(m, pick_coat, specular)
+        valid = jnp.where(
+            m, jnp.where(pick_coat, True, wi_l_pick[..., 2] > 1e-6), valid)
+
+    # ===================== glass family (glass / rough_glass / null) ====
+    if need_glass:
+        ior = jnp.maximum(row["ior"], 1.0 + 1e-6)
+        wl_weight = jnp.ones_like(row["diffuse_color"])
+        if wavelength is not None:
+            from ..core.color import cauchy_coefficients, cauchy_ior, \
+                wl_to_rgb
+            from ..core.qmc import hash_u32
+
+            # sample a wavelength for chromatic lanes on dispersive glass
+            u_wl = (hash_u32((u1 * 16777216.0).astype(jnp.uint32)
+                             ^ jnp.uint32(0x5157))
+                    .astype(jnp.float32) * (1.0 / 4294967296.0))
+            need_wl = dispersive & (wavelength < 0.0)
+            wl_here = jnp.where(need_wl, u_wl, wavelength)
+            a_c, b_c = cauchy_coefficients(ior, row["dispersion_power"])
+            ior_wl = cauchy_ior(a_c, b_c, jnp.clip(wl_here, 0.0, 1.0))
+            ior = jnp.where(dispersive & (wl_here >= 0.0), ior_wl, ior)
+            # spectral weight applied once, when the wavelength is sampled
+            wl_weight = jnp.where(need_wl[..., None], wl_to_rgb(wl_here),
+                                  1.0)
+            new_wl = wl_here
+        eta = jnp.where(entering, ior, 1.0 / ior)
+        eta = jnp.where(is_null, 1.0, eta)
+
+        # rough glass: perturb around a sampled half-vector, else the normal
+        h_rough = vmath.from_local(u, v, nf, sample_blinn_h(row, u1, u2))
+        h_used = jnp.where((mtype == MT_ROUGH_GLASS)[..., None], h_rough, nf)
+        cos_oh = jnp.abs(vmath.dot(h_used, wo))
+        kr = vmath.fresnel_dielectric(cos_oh, eta)
+        kr = jnp.where(is_null, 0.0, kr)
+        wi_refr, refr_ok = vmath.refract(wo, h_used, eta)
+        kr = jnp.where(refr_ok, kr, 1.0)  # TIR
+        pick_refl = u_lobe < kr
+        gs_wi = jnp.where(pick_refl[..., None],
+                          vmath.reflect(wo, h_used), wi_refr)
+        tp_refl = jnp.where(refr_ok[..., None], row["mirror_color"],
+                            jnp.ones_like(row["mirror_color"]))
+        gs_tp = jnp.where(pick_refl[..., None], tp_refl, row["filter_color"])
+        if wavelength is not None:
+            gs_tp = jnp.where((~pick_refl & dispersive)[..., None],
+                              gs_tp * wl_weight, gs_tp)
+        gs_tp = jnp.where(is_null[..., None], 1.0, gs_tp)
+        m = is_glass
+        wi = jnp.where(m[..., None], gs_wi, wi)
+        tp = jnp.where(m[..., None], gs_tp, tp)
+        pdf = jnp.where(m, 0.0, pdf)
+        specular = jnp.where(m, True, specular)
+        transmit = jnp.where(m, ~pick_refl, transmit)
+        valid = jnp.where(m, True, valid)
+
     valid = valid & (luminance(jnp.abs(tp)) > 1e-7)
-    return dict(
+    out = dict(
         wi=vmath.normalize(wi), tp=tp, pdf=pdf,
         specular=specular, transmit=transmit,
         entering=entering & transmit, valid=valid,
     )
+    if wavelength is not None:
+        became = is_glass & dispersive & transmit & (wavelength < 0.0)
+        out["new_wavelength"] = jnp.where(
+            became | (wavelength >= 0.0), new_wl, wavelength)
+    return out
 
 
 def emission(row, ng, wo):

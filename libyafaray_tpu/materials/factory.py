@@ -16,8 +16,10 @@ log = logging.getLogger("libyafaray_tpu")
 
 
 def material_row_from_params(params: ParamMap, mat_name_to_id: dict,
-                             tex_name_to_id: dict | None = None) -> dict:
+                             tex_name_to_id: dict | None = None,
+                             texture_mappers: dict | None = None) -> dict:
     tex_name_to_id = tex_name_to_id or {}
+    texture_mappers = texture_mappers if texture_mappers is not None else {}
     mtype_name = params.get_str("type", "shinydiffusemat")
     if mtype_name not in MATERIAL_TYPE_NAMES:
         log.warning("unknown material type %r; using shinydiffusemat",
@@ -92,7 +94,44 @@ def material_row_from_params(params: ParamMap, mat_name_to_id: dict,
         row["blend_value"] = params.get_float("blend_value", 0.5)
         row["mask_threshold"] = params.get_float("threshold", 0.5)
 
-    # shader-node texture slots (resolved by the node compiler; -1 = unset)
+    # shader-node resolution (reference nodematerial.cc): the material's
+    # shader slots name NODES from its <list_element> block; nodes of type
+    # texture_mapper bind a texture (with texco/mapping transform — carried
+    # by the texture's mapper registration in textures/eval), layer nodes
+    # chain to an input.  We resolve each slot down to its source texture
+    # id; full arbitrary-DAG blending is the node-compiler stage (layer
+    # chains resolve to their textured input, warn on loss).
+    node_to_tex: dict[str, int] = {}
+    nodes = params.get_list("__list__", [])
+    for _ in range(3):  # resolve chains up to depth 3
+        for nd in nodes:
+            if not isinstance(nd, ParamMap):
+                nd = ParamMap(nd)
+            name = nd.get_str("name", "")
+            ntype = nd.get_str("type", "")
+            if not name or name in node_to_tex:
+                continue
+            if ntype in ("texture_mapper", "texture"):
+                t = nd.get_str("texture", "")
+                if t in tex_name_to_id:
+                    ti = tex_name_to_id[t]
+                    node_to_tex[name] = ti
+                    # record the mapper's coordinate transform (first use
+                    # wins; reference allows per-use mappers — noted)
+                    if ti not in texture_mappers:
+                        texture_mappers[ti] = (
+                            nd.get_str("texco", "uv"),
+                            nd.get_str("mapping", "plain"),
+                            tuple(nd.get_point("scale", (1.0, 1.0, 1.0))),
+                            tuple(nd.get_point("offset", (0.0, 0.0, 0.0))),
+                        )
+            elif ntype in ("layer", "mix"):
+                for src_key in ("input", "upper_layer", "layer_input"):
+                    src = nd.get_str(src_key, "")
+                    if src in node_to_tex:
+                        node_to_tex[name] = node_to_tex[src]
+                        break
+
     for slot, key in (
         ("tex_diffuse", "diffuse_shader"), ("tex_glossy", "glossy_shader"),
         ("tex_bump", "bump_shader"), ("tex_mirror", "mirror_color_shader"),
@@ -102,6 +141,13 @@ def material_row_from_params(params: ParamMap, mat_name_to_id: dict,
         ("tex_sigma_oren", "sigma_oren_shader"),
     ):
         sh = params.get_str(key, "")
-        if sh:
-            row[slot] = tex_name_to_id.get(sh, -1)
+        if not sh:
+            continue
+        if sh in node_to_tex:
+            row[slot] = node_to_tex[sh]
+        elif sh in tex_name_to_id:  # direct texture reference
+            row[slot] = tex_name_to_id[sh]
+        else:
+            log.warning("material: shader %r for %s not resolvable to a "
+                        "texture; ignored", sh, key)
     return row

@@ -64,8 +64,93 @@ def _ray_tri_chunk(v0, e1, e2, org, dirn, tmin, tmax):
     return t, u, v, valid
 
 
+SMALL_SCENE_TRIS = 128  # unrolled per-tri loop below this count
+
+
+def _closest_hit_small(tris: dict, org, dirn, tmin, tmax,
+                       geom_pack=None) -> Hit:
+    """Tiny-scene variant: static unroll over triangles with scalar tri
+    data — every intermediate stays (N,)-shaped (perfect VPU lane
+    alignment, zero padding waste).
+
+    Perf note: the per-triangle tests are kept INDEPENDENT (constant tmax,
+    no running-min in the test) so XLA can overlap all of them; the winner
+    is selected by one argmin tree-reduction afterwards and its barycentrics
+    recomputed from gathered triangle data — ~4x faster than a sequential
+    best-so-far loop whose compare chained every iteration."""
+    n = org.shape[0]
+    t_total = tris["v0"].shape[0]
+    ts = []
+    for k in range(t_total):
+        v0 = tris["v0"][k]
+        e1 = tris["e1"][k]
+        e2 = tris["e2"][k]
+        pvec = jnp.cross(dirn, e2[None, :])
+        det = jnp.sum(pvec * e1, axis=-1)
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+        tvec = org - v0
+        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+        qvec = jnp.cross(tvec, e1[None, :])
+        v = jnp.sum(dirn * qvec, axis=-1) * inv_det
+        t = jnp.sum(qvec * e2, axis=-1) * inv_det
+        ok = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
+              & (u + v <= 1.0) & (t > tmin) & (t < tmax))
+        ts.append(jnp.where(ok, t, jnp.inf))
+    tstack = jnp.stack(ts, axis=0)  # (K, N)
+    best_tri = jnp.argmin(tstack, axis=0).astype(jnp.int32)
+    best_t = jnp.min(tstack, axis=0)
+    hit_any = jnp.isfinite(best_t)
+    # recompute the winner's barycentrics from gathered triangle data
+    # (one packed gather when available: gathers have a high fixed cost)
+    if geom_pack is not None:
+        gp = geom_pack[jnp.clip(best_tri, 0, geom_pack.shape[0] - 1)]
+        v0w, e1w, e2w = gp[:, 0:3], gp[:, 3:6], gp[:, 6:9]
+    else:
+        v0w = tris["v0"][best_tri]
+        e1w = tris["e1"][best_tri]
+        e2w = tris["e2"][best_tri]
+    pvec = jnp.cross(dirn, e2w)
+    det = jnp.sum(pvec * e1w, axis=-1)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    tvec = org - v0w
+    best_u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1w)
+    best_v = jnp.sum(dirn * qvec, axis=-1) * inv_det
+    return Hit(t=best_t, tri=best_tri,
+               u=jnp.where(hit_any, best_u, 0.0),
+               v=jnp.where(hit_any, best_v, 0.0), hit=hit_any)
+
+
+def _shadow_small(tris: dict, filt, org, dirn, dist):
+    n = org.shape[0]
+    t_total = tris["v0"].shape[0]
+    tmin = jnp.full((n,), SHADOW_EPS, jnp.float32)
+    tmax = dist * (1.0 - 1e-4) - SHADOW_EPS
+    log_f = jnp.log(jnp.maximum(filt, 1e-12))
+    opaque = jnp.max(filt, axis=-1) < 1e-6
+    log_tr = jnp.zeros((n, 3), jnp.float32)
+    blocked = jnp.zeros((n,), jnp.bool_)
+    for k in range(t_total):
+        v0 = tris["v0"][k]
+        e1 = tris["e1"][k]
+        e2 = tris["e2"][k]
+        pvec = jnp.cross(dirn, e2[None, :])
+        det = jnp.sum(pvec * e1, axis=-1)
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+        tvec = org - v0
+        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+        qvec = jnp.cross(tvec, e1[None, :])
+        v = jnp.sum(dirn * qvec, axis=-1) * inv_det
+        t = jnp.sum(qvec * e2, axis=-1) * inv_det
+        ok = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
+              & (u + v <= 1.0) & (t > tmin) & (t < tmax))
+        blocked = blocked | (ok & opaque[k])
+        log_tr = log_tr + jnp.where(ok[..., None], log_f[k], 0.0)
+    return jnp.where(blocked[:, None], 0.0, jnp.exp(log_tr))
+
+
 def closest_hit_brute(tris: dict, org, dirn, tmin=None, tmax=None,
-                      chunk: int = 512) -> Hit:
+                      chunk: int = 512, geom_pack=None) -> Hit:
     """Nearest-hit over all triangles; tris: v0/e1/e2 (T,3) padded arrays."""
     n = org.shape[0]
     t_total = tris["v0"].shape[0]
@@ -73,6 +158,8 @@ def closest_hit_brute(tris: dict, org, dirn, tmin=None, tmax=None,
         tmin = jnp.full((n,), RAY_EPS, jnp.float32)
     if tmax is None:
         tmax = jnp.full((n,), jnp.inf, jnp.float32)
+    if t_total <= SMALL_SCENE_TRIS:
+        return _closest_hit_small(tris, org, dirn, tmin, tmax, geom_pack)
 
     def do_chunk(carry, c0):
         best_t, best_tri, best_u, best_v = carry
@@ -120,6 +207,8 @@ def shadow_transmission_brute(tris: dict, filt, org, dirn, dist,
     """
     n = org.shape[0]
     t_total = tris["v0"].shape[0]
+    if t_total <= SMALL_SCENE_TRIS:
+        return _shadow_small(tris, filt, org, dirn, dist)
     tmin = jnp.full((n,), SHADOW_EPS, jnp.float32)
     log_f = jnp.log(jnp.maximum(filt, 1e-12))  # (T,3)
     opaque = jnp.max(filt, axis=-1) < 1e-6  # (T,)

@@ -62,6 +62,11 @@ class SceneStatic:
     chunk: int
     shadow_bias: float
     ray_min_dist: float
+    volumes: tuple = ()  # tuple[VolumeRegion, ...] (frozen dataclasses)
+    textures: tuple = ()  # tuple of texture specs (textures/factory.py)
+    texture_mappings: tuple = ()  # per-texture (texco, mapping, scale, off)
+    has_blend: bool = False  # any blend_mat/mask_mat in the table
+    mat_families: tuple | None = None  # mtype codes present
 
 
 @dataclass
@@ -95,6 +100,14 @@ class Scene:
         self.shadow_bias = 5e-4
         self.ray_min_dist = 5e-5
         self.aborted = False
+        # raw ParamMaps retained for XML re-export (xml_writer round-trip)
+        self.material_params: dict[str, ParamMap] = {}
+        self.light_params: list[ParamMap] = []
+        self.camera_params: dict[str, ParamMap] = {}
+        self.background_params: ParamMap | None = None
+        self.volume_params: list[ParamMap] = []
+        self.texture_params: dict[str, ParamMap] = {}
+        self.texture_mappers: dict[int, tuple] = {}
 
     # ------------------------------------------------------------------
     # geometry streaming (yafrayInterface parity)
@@ -163,9 +176,11 @@ class Scene:
     # ------------------------------------------------------------------
 
     def create_material(self, name: str, params: ParamMap) -> int:
+        self.material_params[name] = ParamMap(params)
         row = material_row_from_params(
             params, self.material_names,
             {n: i for i, n in enumerate(self.textures)},
+            self.texture_mappers,
         )
         if name in self.material_names:
             self.materials[self.material_names[name]] = row
@@ -175,6 +190,7 @@ class Scene:
         return self.material_names[name]
 
     def create_light(self, name: str, params: ParamMap) -> int:
+        self.light_params.append(ParamMap(params))
         row, geometry = light_from_params(params)
         self.lights.append(row)
         self.light_names.append(name)
@@ -182,21 +198,25 @@ class Scene:
         return len(self.lights) - 1
 
     def create_camera(self, name: str, params: ParamMap) -> Camera:
+        self.camera_params[name] = ParamMap(params)
         cam = camera_from_params(params)
         self.cameras[name] = cam
         return cam
 
     def create_texture(self, name: str, params: ParamMap):
+        self.texture_params[name] = ParamMap(params)
         from ..textures.factory import texture_from_params
 
         self.textures[name] = texture_from_params(params)
         return self.textures[name]
 
     def create_background(self, name: str, params: ParamMap):
+        self.background_params = ParamMap(params)
         self.background = background_from_params(params, self.textures)
         return self.background
 
     def create_volume_region(self, name: str, params: ParamMap):
+        self.volume_params.append(ParamMap(params))
         from ..volumes.factory import volume_from_params
 
         self.volumes.append(volume_from_params(params))
@@ -217,16 +237,17 @@ class Scene:
     # compile (scene_t::update analog)
     # ------------------------------------------------------------------
 
-    def compile(self, chunk: int = 512) -> CompiledScene:
+    def compile(self, chunk: int | None = None) -> CompiledScene:
         blocks: list[dict] = []
-        for mesh in self.meshes.values():
+        block_mesh_ids: list = []
+        for mesh_id, mesh in self.meshes.items():
             arr = finalize_mesh(mesh)
             if arr is not None:
                 blocks.append(arr)
-        blocks.extend(self.extra_tri_blocks)
-
-        # meshlight resolution: find object tri block, set radiance & CDF
-        mesh_light_cdfs: dict[int, np.ndarray] = {}
+                block_mesh_ids.append(mesh_id)
+        for b in self.extra_tri_blocks:
+            blocks.append(b)
+            block_mesh_ids.append(None)
 
         # area-light panels -> synthetic light_mat + triangles
         for li, (row, geom) in enumerate(zip(self.lights,
@@ -252,6 +273,7 @@ class Scene:
                 light_id=np.full(tcount, li, np.int32),
                 visibility="normal",
             ))
+            block_mesh_ids.append(None)
 
         if not blocks:
             blocks.append(dict(
@@ -263,17 +285,19 @@ class Scene:
                 light_id=np.full(1, -1, np.int32),
                 visibility="normal",
             ))
+            block_mesh_ids.append(None)
 
-        vis_blocks = [b for b in blocks
-                      if b.get("visibility", "normal") in ("normal",
-                                                           "no_shadows")]
+        vis_pairs = [(mid, b) for mid, b in zip(block_mesh_ids, blocks)
+                     if b.get("visibility", "normal") in ("normal",
+                                                          "no_shadows")]
         shadow_blocks = [b for b in blocks
                          if b.get("visibility", "normal") in ("normal",
                                                               "shadow_only")]
-        if not vis_blocks:
-            vis_blocks = blocks[:1]
+        if not vis_pairs:
+            vis_pairs = [(block_mesh_ids[0], blocks[0])]
         if not shadow_blocks:
             shadow_blocks = blocks[:1]
+        vis_blocks = [b for _, b in vis_pairs]
 
         def cat(bs, key):
             return np.concatenate([b[key] for b in bs], axis=0)
@@ -286,16 +310,57 @@ class Scene:
         light_id = cat(vis_blocks, "light_id")
         n_real = pos.shape[0]
 
-        # meshlight: resolve object references now that blocks are fixed
+        # tri range of each mesh id in the visible concat (for meshlights)
+        mesh_ranges: dict = {}
         tri_cursor = 0
-        block_ranges = []
-        for b in vis_blocks:
-            block_ranges.append((tri_cursor, b["pos"].shape[0]))
-            tri_cursor += b["pos"].shape[0]
+        for mid, b in vis_pairs:
+            cnt = b["pos"].shape[0]
+            if mid is not None:
+                mesh_ranges[mid] = (tri_cursor, cnt)
+            tri_cursor += cnt
+
+        # meshlight resolution (reference src/lights/meshlight.cc):
+        # area-weighted triangle CDF + diffuse radiance L = Φ/(π·A_total);
+        # emission at BSDF hits is added via lights.hit_radiance keyed by
+        # tri light_id (the object keeps its own surface material)
+        extra_light_arrays: dict = {}
+        for li, row in enumerate(self.lights):
+            if "_object" not in row:
+                continue
+            try:
+                obj_key = int(row["_object"])
+            except (TypeError, ValueError):
+                obj_key = None
+            if obj_key not in mesh_ranges:
+                log.warning("meshlight %s: object %r not found; disabled",
+                            self.light_names[li], row["_object"])
+                row["enabled"] = False
+                continue
+            start, cnt = mesh_ranges[obj_key]
+            tri = pos[start:start + cnt]
+            areas = 0.5 * np.linalg.norm(
+                np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]),
+                axis=1,
+            )
+            total_area = float(max(areas.sum(), 1e-12))
+            cdf = np.concatenate([[0.0], np.cumsum(areas / areas.sum())])
+            cdf[-1] = 1.0
+            extra_light_arrays[f"mlight_cdf_{li}"] = cdf.astype(np.float32)
+            row["area"] = total_area
+            rad = (np.asarray(row["_color"]) * row["_power"]
+                   / (np.pi * total_area))
+            row["radiance"] = tuple(rad)
+            row["tri_start"] = start
+            row["tri_count"] = cnt
+            light_id[start:start + cnt] = li
 
         v0 = pos[:, 0]
         e1 = pos[:, 1] - pos[:, 0]
         e2 = pos[:, 2] - pos[:, 0]
+        if chunk is None:
+            # pad to the VPU lane quantum, not a fixed 512 — for small
+            # scenes brute-force cost is linear in the padded size
+            chunk = int(min(512, max(8, -(-n_real // 8) * 8)))
         v0p, e1p, e2p, _ = pad_triangles(v0, e1, e2, chunk)
         n_pad = v0p.shape[0]
 
@@ -325,10 +390,44 @@ class Scene:
             np.min(sfilt, axis=-1, keepdims=True) >= 1.0 - 1e-6, 1.0, 0.0
         ).astype(np.float32)
 
+        bg_spec, bg_img = self.background
+
+        # IBL: the background auto-creates a bglight (reference textureback
+        # `ibl` flag). Bake non-texture backgrounds to a small lat-long grid
+        # so eval/sampling share one path.
+        all_lights = list(self.lights)
+        if bg_spec.ibl:
+            if bg_img is None:
+                from ..backgrounds.host import bake_background_np
+
+                bg_img = bake_background_np(bg_spec, 32, 64)
+            from ..lights.base import default_light_row
+
+            bgrow = default_light_row()
+            bgrow["ltype"] = 7  # LT_BACKGROUND
+            bgrow["samples"] = max(1, bg_spec.ibl_samples)
+            bgrow["intersectable"] = True
+            all_lights = all_lights + [bgrow]
+
         lights_table = build_light_table(
             [{k: v for k, v in r.items() if not k.startswith("_")}
-             for r in self.lights]
+             for r in all_lights]
         )
+        # emission radiance for BSDF hits on light geometry (meshlights;
+        # area lights emit through their synthetic light_mat)
+        hit_rad = np.zeros((len(all_lights), 3), np.float32)
+        for li, r in enumerate(all_lights):
+            if "_object" in r and r.get("enabled", True):
+                hit_rad[li] = np.asarray(r["radiance"], np.float32)
+        lights_table["hit_radiance"] = hit_rad
+        # packed per-light emission-hit attributes (one gather in the
+        # engine's emission step): [area, double_sided, hit_radiance rgb]
+        lights_table["hit_pack"] = np.concatenate([
+            lights_table["area"][:, None].astype(np.float32),
+            lights_table["double_sided"][:, None].astype(np.float32),
+            hit_rad,
+        ], axis=1) if len(all_lights) else np.zeros((0, 5), np.float32)
+
         light_statics = tuple(
             LightStatic(
                 ltype=int(r["ltype"]), samples=int(r["samples"]),
@@ -337,15 +436,32 @@ class Scene:
                 cast_shadows=bool(r["cast_shadows"]),
                 photon_only=bool(r["photon_only"]),
                 enabled=bool(r["enabled"]),
+                tri_start=int(r["tri_start"]),
+                tri_count=int(r["tri_count"]),
             )
-            for r in self.lights
+            for r in all_lights
         )
 
-        bg_spec, bg_img = self.background
+        # packed per-triangle shading attributes: ONE gather per hit instead
+        # of five (pos 9, normal 9, uv 6, geo_n 3, mat 1, light_id 1 = 29)
+        tri_shade_pack = np.concatenate([
+            pos.reshape(n_real, 9).astype(np.float32),
+            normal.reshape(n_real, 9).astype(np.float32),
+            uv.reshape(n_real, 6).astype(np.float32),
+            geo_n.astype(np.float32),
+            mat[:, None].astype(np.float32),
+            light_id[:, None].astype(np.float32),
+        ], axis=1)
+        # packed winner geometry for the intersector's barycentric recompute
+        tri_geom_pack = np.concatenate(
+            [v0.astype(np.float32), e1.astype(np.float32),
+             e2.astype(np.float32)], axis=1)
 
         arrays = dict(
             tris=dict(v0=v0p.astype(np.float32), e1=e1p.astype(np.float32),
                       e2=e2p.astype(np.float32)),
+            tri_shade_pack=tri_shade_pack,
+            tri_geom_pack=tri_geom_pack,
             stris=dict(v0=sv0p.astype(np.float32),
                        e1=se1p.astype(np.float32),
                        e2=se2p.astype(np.float32)),
@@ -360,8 +476,25 @@ class Scene:
             materials=mats,
             lights=lights_table,
         )
+        # image textures as device arrays (procedurals compile from specs)
+        for ti, tex in enumerate(self.textures.values()):
+            if tex.tex_type == "image" and tex.image is not None:
+                arrays[f"tex_{ti}"] = np.ascontiguousarray(
+                    tex.image[..., :3], np.float32)
+            elif tex.tex_type == "image":
+                arrays[f"tex_{ti}"] = np.zeros((2, 2, 3), np.float32)
+
         if bg_img is not None:
             arrays["bg_image"] = np.asarray(bg_img, np.float32)
+        if bg_spec.ibl and bg_img is not None:
+            from ..lights.bglight import build_bg_cdf
+
+            arrays.update(build_bg_cdf(bg_img))
+        arrays.update(extra_light_arrays)
+        for li, r in enumerate(all_lights):
+            if "_ies_profile" in r:
+                arrays[f"ies_{li}"] = np.asarray(r["_ies_profile"],
+                                                 np.float32)
 
         intersector = "brute" if n_real <= BVH_THRESHOLD else "bvh"
         if intersector == "bvh":
@@ -378,6 +511,16 @@ class Scene:
             lights=light_statics, bg=bg_spec, intersector=intersector,
             chunk=chunk, shadow_bias=self.shadow_bias,
             ray_min_dist=self.ray_min_dist,
+            volumes=tuple(self.volumes),
+            textures=tuple(t.spec for t in self.textures.values()),
+            texture_mappings=tuple(
+                self.texture_mappers.get(i, ("uv", "plain",
+                                             (1.0, 1.0, 1.0),
+                                             (0.0, 0.0, 0.0)))
+                for i in range(len(self.textures))),
+            has_blend=any(r["mtype"] in (6, 7) for r in self.materials),
+            mat_families=tuple(sorted(
+                {r["mtype"] for r in self.materials})),
         )
         cam = next(iter(self.cameras.values())) if self.cameras else Camera()
         cam_name = self.render_params.get_str("camera_name", "")

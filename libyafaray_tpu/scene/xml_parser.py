@@ -140,6 +140,13 @@ def parse_xml_string(text: str, scene: Scene | None = None):
                     m = _parse_value(child)
             if m is not None:
                 scene.add_instance(base, m)
+        elif tag == "sphere":
+            # sphere primitive (reference std_primitives.cc "sphere"
+            # factory; element form is this framework's extension)
+            p = _parse_params(el)
+            scene.add_sphere(p.get_point("center", (0, 0, 0)),
+                             p.get_float("radius", 1.0),
+                             p.get_str("material", "__default__"))
         elif tag == "render":
             scene.set_render_params(_parse_params(el))
         else:

@@ -1,0 +1,158 @@
+"""Device-side texture evaluation — the `initBSDF` analog.
+
+Reference flow (SURVEY §2.4): material_t::initBSDF evaluates the shader-
+node stack once per hit into per-thread userdata; eval/sample read from it.
+TPU flow: after gathering the per-lane material row, `apply_textures`
+overrides textured parameters (diffuse/glossy/mirror colors, transparency/
+translucency/blend scalars) from the scene's texture arrays, and
+`bump_normal` perturbs the shading normal from the bump slot's gradient.
+Dispatch is a static loop over the scene's textures with lane masks (few
+textures per scene; masked VPU selects beat a gather-scatter sort).
+
+Image sampling: bilinear with repeat wrapping (reference imagetex.cc
+interpolation bilinear default; mipmap/EWA are a later stage).  Procedural
+textures (clouds/marble/wood/...) evaluate analytically in
+textures/procedural.py through the same `sample_texture` entry.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.color import luminance
+
+
+def sample_image_bilinear(img, u, v):
+    """img (H,W,3); u,v (N,) in repeat-wrapped uv space. -> (N,3)."""
+    h, w = img.shape[0], img.shape[1]
+    u = u % 1.0
+    v = v % 1.0
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x1 = (x0 + 1) % w
+    y1 = (y0 + 1) % h
+    x0 = x0 % w
+    y0 = y0 % h
+    c00 = img[y0, x0]
+    c10 = img[y0, x1]
+    c01 = img[y1, x0]
+    c11 = img[y1, x1]
+    return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+            + (c01 * (1 - fx) + c11 * fx) * fy)
+
+
+def _mapped_coords(static, ti: int, sp):
+    """Apply the texture_mapper transform (reference textureMapper_t):
+    texco (uv/global/object/orco), scale/offset, and for 3-D coords the
+    projection (plain/sphere/tube) to 2-D uv.  Returns (u, v, p3)."""
+    mappings = getattr(static, "texture_mappings", ())
+    texco, mapping, scale, offset = (
+        mappings[ti] if ti < len(mappings)
+        else ("uv", "plain", (1.0, 1.0, 1.0), (0.0, 0.0, 0.0))
+    )
+    if texco == "uv":
+        u = sp["uv"][..., 0] * scale[0] + offset[0]
+        v = sp["uv"][..., 1] * scale[1] + offset[1]
+        p3 = jnp.stack([u, v, jnp.zeros_like(u)], axis=-1)
+        return u, v, p3
+    # 3-D coordinates (global/object/orco all use P in this stage)
+    p3 = sp["p"] * jnp.asarray(scale, jnp.float32) + jnp.asarray(
+        offset, jnp.float32)
+    if mapping in ("sphere",):
+        d = p3 / jnp.maximum(
+            jnp.linalg.norm(p3, axis=-1, keepdims=True), 1e-9)
+        u = 0.5 + jnp.arctan2(d[..., 1], d[..., 0]) / (2.0 * jnp.pi)
+        v = 0.5 - jnp.arcsin(jnp.clip(d[..., 2], -1, 1)) / jnp.pi
+    elif mapping in ("tube",):
+        u = 0.5 + jnp.arctan2(p3[..., 1], p3[..., 0]) / (2.0 * jnp.pi)
+        v = p3[..., 2] * 0.5 + 0.5
+    elif mapping in ("cube",):
+        # dominant-axis projection
+        ax = jnp.argmax(jnp.abs(p3), axis=-1)
+        u = jnp.where(ax == 0, p3[..., 1],
+                      jnp.where(ax == 1, p3[..., 0], p3[..., 0]))
+        v = jnp.where(ax == 2, p3[..., 1], p3[..., 2])
+        u = u * 0.5 + 0.5
+        v = v * 0.5 + 0.5
+    else:  # plain
+        u = p3[..., 0] * 0.5 + 0.5
+        v = 0.5 - p3[..., 1] * 0.5
+    return u, v, p3
+
+
+def sample_texture(scene_arrays, static, ti: int, sp):
+    """Evaluate texture `ti` (static) at the surface points. -> (N,3)."""
+    spec = static.textures[ti]
+    u, v, p3 = _mapped_coords(static, ti, sp)
+    if spec[0] == "image":
+        img = scene_arrays[f"tex_{ti}"]
+        return sample_image_bilinear(img, u, v)
+    from .procedural import eval_procedural
+
+    return eval_procedural(spec, p3, jnp.stack([u, v], axis=-1))
+
+
+def apply_textures(scene_arrays, static, row, sp):
+    """Override textured material parameters per lane (initBSDF analog)."""
+    if not getattr(static, "textures", ()):
+        return row
+    row = dict(row)
+    slots_color = (("tex_diffuse", "diffuse_color"),
+                   ("tex_glossy", "glossy_color"),
+                   ("tex_mirror", "mirror_color"))
+    slots_scalar = (("tex_transparency", "transparency"),
+                    ("tex_translucency", "translucency"),
+                    ("tex_blend", "blend_value"),
+                    ("tex_sigma_oren", "sigma"))
+    for ti in range(len(static.textures)):
+        tex_val = None  # lazily evaluated per texture
+
+        def val():
+            nonlocal tex_val
+            if tex_val is None:
+                tex_val = sample_texture(scene_arrays, static, ti, sp)
+            return tex_val
+
+        for slot, target in slots_color:
+            mask = row[slot] == ti
+            row[target] = jnp.where(mask[..., None], val(), row[target])
+        for slot, target in slots_scalar:
+            mask = row[slot] == ti
+            row[target] = jnp.where(mask, luminance(val()), row[target])
+    return row
+
+
+def bump_normal(scene_arrays, static, row, sp, strength: float = 0.02):
+    """Perturb shading normals from the bump slot via central differences
+    of the texture (reference nodematerial evalDerivative bump)."""
+    if not getattr(static, "textures", ()):
+        return sp["n"]
+    n = sp["n"]
+    from ..core import math as vmath
+
+    for ti in range(len(static.textures)):
+        mask = row["tex_bump"] == ti
+        spec = static.textures[ti]
+        if spec[0] != "image":
+            continue
+        img = scene_arrays[f"tex_{ti}"]
+        h, w = img.shape[0], img.shape[1]
+        u, v = sp["uv"][..., 0], sp["uv"][..., 1]
+        du = 1.0 / w
+        dv = 1.0 / h
+        f0 = luminance(sample_image_bilinear(img, u, v))
+        fu = luminance(sample_image_bilinear(img, u + du, v))
+        fv = luminance(sample_image_bilinear(img, u, v + dv))
+        tu, tv = vmath.build_onb(n)
+        grad_u = (fu - f0) / du
+        grad_v = (fv - f0) / dv
+        n_b = vmath.normalize(
+            n - strength * (grad_u[..., None] * tu + grad_v[..., None] * tv)
+        )
+        n = jnp.where(mask[..., None], n_b, n)
+    return n

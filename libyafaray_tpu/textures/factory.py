@@ -27,6 +27,20 @@ class HostTexture:
     use_alpha: bool = False
     interpolate: str = "bilinear"
 
+    @property
+    def spec(self) -> tuple:
+        """Static, hashable spec for jit specialization
+        (textures/eval.py): ("image",) or (type, frozen-params)."""
+        if self.tex_type == "image":
+            return ("image",)
+        frozen = tuple(
+            sorted(
+                (k, v) for k, v in self.params.items()
+                if isinstance(v, (int, float, str, bool))
+            )
+        )
+        return (self.tex_type, frozen)
+
 
 def texture_from_params(params: ParamMap) -> HostTexture:
     ttype = params.get_str("type", "image")

@@ -85,3 +85,29 @@ def test_bvh_nodes_wellformed(soup):
     assert bvh["tri_count"][leaves].max() <= 4
     assert bvh["tri_count"][leaves].sum() == v0.shape[0]
     assert sorted(bvh["tri_order"].tolist()) == list(range(v0.shape[0]))
+
+
+def test_native_builder_traversal_correct(soup, rays):
+    """The C++ builder's BVH gives identical hits to brute force (tree may
+    legitimately differ from the numpy builder's; traversal results must
+    not)."""
+    from libyafaray_tpu.accel.native import build_bvh_native
+
+    v0, e1, e2 = soup
+    bvh_np = build_bvh_native(v0, e1, e2)
+    if bvh_np is None:
+        pytest.skip("no native builder in this environment")
+    org, d = rays
+    v0p, e1p, e2p, _ = pad_triangles(v0, e1, e2, 512)
+    tris_p = dict(v0=jnp.asarray(v0p), e1=jnp.asarray(e1p),
+                  e2=jnp.asarray(e2p))
+    hb = closest_hit_brute(tris_p, org, d, chunk=512)
+    bvh = {k: jnp.asarray(v) for k, v in bvh_np.items()}
+    tris = dict(v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2))
+    hv = closest_hit_bvh(bvh, tris, org, d)
+    assert np.array_equal(np.asarray(hb.hit), np.asarray(hv.hit))
+    m = np.asarray(hb.hit)
+    assert np.allclose(np.asarray(hb.t)[m], np.asarray(hv.t)[m], rtol=1e-4)
+    assert np.array_equal(np.asarray(hb.tri)[m], np.asarray(hv.tri)[m])
+    # well-formed: every triangle referenced exactly once
+    assert sorted(bvh_np["tri_order"].tolist()) == list(range(v0.shape[0]))

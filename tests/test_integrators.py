@@ -1,0 +1,163 @@
+"""Integrator-level closed-form tests (SURVEY §4.2): furnace, meshlight vs
+arealight equivalence, IBL sampling."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from libyafaray_tpu.scene.scene import Scene
+from libyafaray_tpu.scene.params import ParamMap
+from libyafaray_tpu.scene.session import build_config, render_scene
+from libyafaray_tpu.integrators.config import RenderConfig
+from libyafaray_tpu.integrators.render import render
+
+
+def _sphere_scene(mat_params, bg_params, res=24):
+    s = Scene()
+    s.create_material("m", ParamMap(mat_params))
+    s.create_background("bg", ParamMap(bg_params))
+    s.add_sphere((0.0, 0.0, 0.0), 1.0, "m")
+    s.create_camera("cam", ParamMap({
+        "type": "perspective", "resx": res, "resy": res,
+        "from": (0.0, -4.0, 0.0), "to": (0.0, 0.0, 0.0),
+        "up": (0.0, -4.0, 1.0), "focal": 1.8,
+    }))
+    s.create_integrator("default", ParamMap({
+        "type": "pathtracing", "bounces": 6, "raydepth": 6,
+        "path_samples": 1,
+    }))
+    s.render_params = ParamMap({
+        "width": res, "height": res, "AA_minsamples": 48,
+        "integrator_name": "default", "camera_name": "cam",
+    })
+    return s
+
+
+def test_white_furnace_ibl():
+    """Albedo-1 diffuse sphere in a uniform env with IBL importance
+    sampling: every pixel must equal the env radiance (SURVEY App. B /
+    §4.2 furnace)."""
+    s = _sphere_scene(
+        {"type": "shinydiffusemat", "color": (1.0, 1.0, 1.0),
+         "diffuse_reflect": 1.0},
+        {"type": "constant", "color": (0.5, 0.5, 0.5), "ibl": True,
+         "ibl_samples": 4},
+    )
+    res = render_scene(s)
+    img = res.image
+    assert np.isfinite(img).all()
+    err = np.abs(img - 0.5)
+    # mean within 2%; RR truncation + MC noise allow small deviation
+    assert err.mean() < 0.02, (img.mean(), err.mean())
+
+
+def test_furnace_no_ibl_matches_ibl():
+    """Same furnace without the IBL light (pure BSDF sampling) converges to
+    the same image — cross-check of the two strategies."""
+    s1 = _sphere_scene(
+        {"type": "shinydiffusemat", "color": (0.7, 0.7, 0.7)},
+        {"type": "constant", "color": (0.5, 0.5, 0.5), "ibl": True,
+         "ibl_samples": 4},
+    )
+    s2 = _sphere_scene(
+        {"type": "shinydiffusemat", "color": (0.7, 0.7, 0.7)},
+        {"type": "constant", "color": (0.5, 0.5, 0.5), "ibl": False},
+    )
+    i1 = render_scene(s1).image
+    i2 = render_scene(s2).image
+    assert np.abs(i1.mean() - i2.mean()) < 0.02
+    assert np.abs(i1 - i2).mean() < 0.05
+
+
+def _box_light_scene(light_kind: str, res=32):
+    """Small box with either an arealight or an equivalent meshlight quad."""
+    s = Scene()
+    s.create_material("white", ParamMap({
+        "type": "shinydiffusemat", "color": (0.7, 0.7, 0.7)}))
+    s.create_material("lm", ParamMap({"type": "null"}))
+    s.create_background("bg", ParamMap({"type": "constant",
+                                        "color": (0, 0, 0)}))
+    # floor
+    m = s.start_tri_mesh()
+    for p in ((-2, -2, 0), (2, -2, 0), (2, 2, 0), (-2, 2, 0)):
+        s.add_vertex(*p)
+    s.add_triangle(0, 1, 2, "white")
+    s.add_triangle(0, 2, 3, "white")
+    s.end_tri_mesh()
+    corner = np.array([-0.5, -0.5, 2.0])
+    e1 = np.array([1.0, 0.0, 0.0])
+    e2 = np.array([0.0, 1.0, 0.0])
+    if light_kind == "area":
+        # point order chosen so cross(p1-c, p2-c) = -z (faces the floor)
+        s.create_light("L", ParamMap({
+            "type": "arealight", "corner": tuple(corner),
+            "point1": tuple(corner + e2), "point2": tuple(corner + e1),
+            "color": (1.0, 1.0, 1.0), "power": 10.0, "samples": 8,
+        }))
+    else:
+        lm_id = s.start_tri_mesh()
+        q = [corner, corner + e2, corner + e1 + e2, corner + e1]
+        for p in q:
+            s.add_vertex(*p)
+        s.add_triangle(0, 1, 2, "white")
+        s.add_triangle(0, 2, 3, "white")
+        s.end_tri_mesh()
+        s.create_light("L", ParamMap({
+            "type": "meshlight", "object_name": str(lm_id),
+            "color": (1.0, 1.0, 1.0), "power": 10.0, "samples": 8,
+            "double_sided": True,
+        }))
+    s.create_camera("cam", ParamMap({
+        "type": "perspective", "resx": res, "resy": res,
+        "from": (0.0, -5.0, 1.0), "to": (0.0, 0.0, 0.5),
+        "up": (0.0, -5.0, 2.0), "focal": 1.2,
+    }))
+    s.create_integrator("default", ParamMap({
+        "type": "directlighting", "raydepth": 2}))
+    s.render_params = ParamMap({
+        "width": res, "height": res, "AA_minsamples": 16,
+        "integrator_name": "default", "camera_name": "cam",
+    })
+    return s
+
+
+def test_meshlight_matches_arealight():
+    """A meshlight quad and an arealight with identical flux illuminate the
+    floor identically (light sampling parity)."""
+    ia = render_scene(_box_light_scene("area")).image
+    im = render_scene(_box_light_scene("mesh")).image
+    # compare the floor region (lower half of image)
+    fa = ia[20:, :, :]
+    fm = im[20:, :, :]
+    assert fa.mean() > 0.01
+    assert np.abs(fa - fm).mean() < 0.15 * fa.mean(), (
+        fa.mean(), fm.mean())
+
+
+def test_ibl_sampling_nonuniform_env():
+    """IBL importance sampling of a strongly peaked env converges with few
+    samples (would be hopeless with uniform sampling): diffuse floor lit by
+    a single bright texel."""
+    from libyafaray_tpu.lights.bglight import build_bg_cdf, sample_bg_light
+    from libyafaray_tpu.backgrounds.base import BackgroundSpec, BG_TEXTURE
+
+    img = np.zeros((16, 32, 3), np.float32)
+    img[2, 5] = 100.0  # bright texel near the pole
+    cdf = build_bg_cdf(img)
+    arrays = {k: jnp.asarray(v) for k, v in cdf.items()}
+    arrays["bg_image"] = jnp.asarray(img)
+    spec = BackgroundSpec(bg_type=BG_TEXTURE, power=1.0)
+    rng = np.random.default_rng(3)
+    n = 2048
+    p = jnp.zeros((n, 3), jnp.float32)
+    smp = sample_bg_light(arrays, spec, p,
+                          jnp.asarray(rng.random(n), jnp.float32),
+                          jnp.asarray(rng.random(n), jnp.float32))
+    # all samples land on the bright texel's direction
+    li = np.asarray(smp["li"])
+    assert (li.max(axis=-1) > 99.0).mean() > 0.999
+    # MC estimate of irradiance-like integral: E[li/pdf] = ∫ L dω
+    est = (li[:, 0] / np.asarray(smp["pdf"])).mean()
+    # analytic: single texel, dω = sinθ·(π/H)·(2π/W)
+    theta = (2 + 0.5) / 16 * np.pi
+    ref = 100.0 * np.sin(theta) * (np.pi / 16) * (2 * np.pi / 32)
+    assert abs(est / ref - 1.0) < 0.05, (est, ref)

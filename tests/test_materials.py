@@ -176,3 +176,36 @@ def test_transparency_shadow_filter():
     t3 = _table(mtype=MT_GLASS, fake_shadows=False)
     f3 = np.asarray(shadow_filter(_lanes(t3, 4)))
     assert np.allclose(f3[0], 0.0)
+
+
+def test_blend_material_mixes_children():
+    """blend_mat: eval is the lerp of its children; sample picks children
+    in proportion (reference blendmat.cc semantics)."""
+    from libyafaray_tpu.materials import blend as blendmod
+    from libyafaray_tpu.materials.base import MT_BLEND
+
+    rows = []
+    r1 = default_row()
+    r1.update(dict(mtype=MT_SHINYDIFFUSE, diffuse_color=(1.0, 0.0, 0.0)))
+    r2 = default_row()
+    r2.update(dict(mtype=MT_SHINYDIFFUSE, diffuse_color=(0.0, 1.0, 0.0)))
+    rb = default_row()
+    rb.update(dict(mtype=MT_BLEND, sub_mat1=0, sub_mat2=1,
+                   blend_value=0.25))
+    rows = [r1, r2, rb]
+    t = build_material_table(rows)
+    mats = {k: jnp.asarray(v) for k, v in t.items()}
+    row = gather_rows(mats, jnp.full(N, 2, jnp.int32))
+    wi = vmath.normalize(
+        jnp.asarray(np.tile([[0.1, -0.2, 0.9]], (N, 1)), jnp.float32))
+    f = np.asarray(blendmod.eval_bsdf(mats, row, NRM, NRM, WO, wi, True))
+    expect = (0.75 * np.asarray([1.0, 0, 0]) + 0.25 * np.asarray([0, 1.0, 0])) / np.pi
+    assert np.allclose(f[0], expect, atol=1e-5), f[0]
+    # sampling picks child 2 with prob 0.25
+    s = blendmod.sample_bsdf(mats, row, NRM, NRM, WO, U1, U2, UL, True)
+    tp = np.asarray(s["tp"])
+    green_frac = (tp[:, 1] > tp[:, 0]).mean()
+    assert abs(green_frac - 0.25) < 0.03
+    # mixture pdf matches the blended pdf fn
+    p1 = np.asarray(blendmod.pdf_bsdf(mats, row, NRM, NRM, WO, s["wi"], True))
+    assert np.allclose(np.asarray(s["pdf"]), p1, atol=1e-4)

@@ -1,0 +1,117 @@
+"""Photon pipeline tests: grid gather vs brute force, photon shooting
+energy, photonmapping + SPPM smoke renders (SURVEY §4/§7.1 stage 5-6)."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+SCENE = os.path.join(os.path.dirname(__file__), "..", "scenes", "cornell.xml")
+
+
+def test_grid_gather_matches_bruteforce():
+    """Fixed-radius photon gather == numpy brute force (SURVEY §7.2 #3)."""
+    from libyafaray_tpu.ops.photon_grid import build_photon_grid, \
+        density_estimate
+
+    rng = np.random.default_rng(5)
+    p = 4000
+    pos = rng.uniform(0, 4, (p, 3)).astype(np.float32)
+    power = rng.random((p, 3)).astype(np.float32)
+    dirs = rng.normal(size=(p, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    valid = rng.random(p) > 0.1
+    radius = 0.25
+
+    grid = build_photon_grid(
+        jnp.asarray(pos), jnp.asarray(valid), radius,
+        jnp.asarray([-0.1, -0.1, -0.1]),
+        dict(dir=jnp.asarray(dirs), power=jnp.asarray(power)),
+    )
+    nq = 64
+    qp = rng.uniform(0, 4, (nq, 3)).astype(np.float32)
+    qn = np.tile([[0.0, 0.0, 1.0]], (nq, 1)).astype(np.float32)
+    flux, cnt = density_estimate(grid, jnp.asarray(qp), jnp.asarray(qn),
+                                 radius)
+
+    # numpy brute force
+    d2 = ((qp[:, None, :] - pos[None, :, :]) ** 2).sum(-1)
+    front = dirs[:, 2] > 0
+    sel = (d2 <= radius * radius) & valid[None, :] & front[None, :]
+    flux_ref = (sel[..., None] * power[None, :, :]).sum(1)
+    cnt_ref = sel.sum(1)
+    assert np.array_equal(np.asarray(cnt), cnt_ref.astype(np.float32))
+    assert np.allclose(np.asarray(flux), flux_ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    from libyafaray_tpu.scene.xml_parser import parse_xml_file
+
+    s = parse_xml_file(SCENE)
+    s.render_params["width"] = 32
+    s.render_params["height"] = 32
+    s.render_params["AA_minsamples"] = 2
+    return s
+
+
+def test_photon_shoot_stores_on_walls(cornell):
+    from libyafaray_tpu.integrators.photon_shoot import make_photon_pass, \
+        light_flux
+    from libyafaray_tpu.integrators.photonmap import _light_cdf
+    from libyafaray_tpu.scene.session import build_config
+    import jax
+
+    cfg = build_config(cornell)
+    cs = cornell.compile()
+    arrays = jax.device_put(cs.arrays)
+    cdf, total = _light_cdf(cs.static, arrays)
+    assert total > 0
+    shoot = jax.jit(make_photon_pass(cs.static, cfg, 2048, 4, "diffuse"))
+    rec = shoot(arrays, jnp.asarray(cdf), total, jnp.uint32(1))
+    valid = np.asarray(rec["valid"])
+    assert valid.sum() > 1500  # most photons land on diffuse walls
+    pos = np.asarray(rec["pos"])[valid]
+    # all stores inside the box bounds
+    assert pos.min() > -0.01 and pos.max() < 5.7
+    # flux conservation: per-photon power ~ total flux (before 1/N scaling)
+    pw = np.asarray(rec["power"])[valid]
+    assert np.isfinite(pw).all() and pw.min() >= 0
+    # first-bounce photons carry flux/prob ~= total flux of the one light
+    assert abs(np.mean(pw.mean(axis=-1)) / total - 1.0) < 0.5
+
+
+def test_photonmap_render_smoke(cornell):
+    from libyafaray_tpu.integrators.photonmap import render_photonmap
+    from libyafaray_tpu.scene.session import build_config
+    from libyafaray_tpu.integrators.config import RenderConfig
+
+    cfg = build_config(cornell)
+    cfg = RenderConfig(**{**cfg.__dict__, "integrator": "photonmapping",
+                          "photons": 4096, "caustic_photons": 2048,
+                          "fg_samples": 4, "aa_samples": 1, "aa_passes": 1,
+                          "width": 32, "height": 32, "raydepth": 2})
+    cs = cornell.compile()
+    res = render_photonmap(cs, cfg)
+    img = res.image
+    assert np.isfinite(img).all()
+    assert 0.005 < img.mean() < 10.0
+    # GI: ceiling (dark under directlighting) should now get bounce light
+    top = img[2:6, 8:24].mean()
+    assert top > 0.001, top
+
+
+def test_sppm_render_smoke(cornell):
+    from libyafaray_tpu.integrators.sppm import render_sppm
+    from libyafaray_tpu.scene.session import build_config
+    from libyafaray_tpu.integrators.config import RenderConfig
+
+    cfg = build_config(cornell)
+    cfg = RenderConfig(**{**cfg.__dict__, "integrator": "SPPM",
+                          "sppm_photons": 4096, "sppm_passes": 2,
+                          "width": 32, "height": 32, "raydepth": 2})
+    cs = cornell.compile()
+    res = render_sppm(cs, cfg)
+    img = res.image
+    assert np.isfinite(img).all()
+    assert 0.005 < img.mean() < 10.0
