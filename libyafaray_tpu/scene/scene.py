@@ -456,12 +456,28 @@ class Scene:
         tri_geom_pack = np.concatenate(
             [v0.astype(np.float32), e1.astype(np.float32),
              e2.astype(np.float32)], axis=1)
+        # SoA-transposed packs for the pallas kernels (9, T): v0|e1|e2 rows
+        tri_pack9 = tri_geom_pack.T.copy()
+        stri_pack9 = np.concatenate(
+            [sv0.astype(np.float32), se1.astype(np.float32),
+             se2.astype(np.float32)], axis=1).T.copy()
 
         arrays = dict(
             tris=dict(v0=v0p.astype(np.float32), e1=e1p.astype(np.float32),
                       e2=e2p.astype(np.float32)),
             tri_shade_pack=tri_shade_pack,
             tri_geom_pack=tri_geom_pack,
+            tri_pack9=tri_pack9,
+            stri_pack9=stri_pack9,
+            sfilt4=np.concatenate(
+                [sfilt[:stri_pack9.shape[1]].T,
+                 np.zeros((1, stri_pack9.shape[1]), np.float32)]
+            ).astype(np.float32),
+            sfilt4_binary=np.concatenate(
+                [np.broadcast_to(sfilt_bin[:stri_pack9.shape[1]],
+                                 (stri_pack9.shape[1], 3)).T,
+                 np.zeros((1, stri_pack9.shape[1]), np.float32)]
+            ).astype(np.float32),
             stris=dict(v0=sv0p.astype(np.float32),
                        e1=se1p.astype(np.float32),
                        e2=se2p.astype(np.float32)),

@@ -111,3 +111,44 @@ def test_native_builder_traversal_correct(soup, rays):
     assert np.array_equal(np.asarray(hb.tri)[m], np.asarray(hv.tri)[m])
     # well-formed: every triangle referenced exactly once
     assert sorted(bvh_np["tri_order"].tolist()) == list(range(v0.shape[0]))
+
+
+def test_pallas_kernels_interpret_match_brute(soup, rays):
+    """Pallas intersection kernels (interpret mode on CPU) == jnp brute."""
+    from libyafaray_tpu.ops import pallas_intersect as pli
+
+    pli.INTERPRET = True
+    try:
+        v0, e1, e2 = soup
+        v0, e1, e2 = v0[:64], e1[:64], e2[:64]
+        org, d = rays
+        org, d = org[:256], d[:256]
+        tri9 = jnp.asarray(np.concatenate([v0, e1, e2], axis=1).T)
+        tmin = jnp.full((256,), 5e-5)
+        tmax = jnp.full((256,), jnp.inf)
+        t, tri, u, v, hit = pli.closest_hit_pallas(tri9, org, d, tmin, tmax,
+                                                   n_tris=64)
+        v0p, e1p, e2p, _ = pad_triangles(v0, e1, e2, 64)
+        tris_p = dict(v0=jnp.asarray(v0p), e1=jnp.asarray(e1p),
+                      e2=jnp.asarray(e2p))
+        hb = closest_hit_brute(tris_p, org, d, chunk=64)
+        assert np.array_equal(np.asarray(hit), np.asarray(hb.hit))
+        m = np.asarray(hb.hit)
+        assert np.allclose(np.asarray(t)[m], np.asarray(hb.t)[m], rtol=1e-4)
+        assert np.array_equal(np.asarray(tri)[m], np.asarray(hb.tri)[m])
+
+        rng = np.random.default_rng(9)
+        filt = (rng.random((64, 3)) * (rng.random((64, 1)) > 0.5)).astype(
+            np.float32)
+        filt4 = jnp.asarray(np.concatenate(
+            [filt.T, np.zeros((1, 64), np.float32)]))
+        dist = jnp.full((256,), 2.5, jnp.float32)
+        tr_p = pli.shadow_transmission_pallas(tri9, filt4, org, d, dist,
+                                              n_tris=64)
+        filt_pad = np.concatenate(
+            [filt, np.zeros((v0p.shape[0] - 64, 3), np.float32)])
+        tr_b = shadow_transmission_brute(tris_p, jnp.asarray(filt_pad),
+                                         org, d, dist, chunk=64)
+        assert np.allclose(np.asarray(tr_p), np.asarray(tr_b), atol=2e-3)
+    finally:
+        pli.INTERPRET = False
