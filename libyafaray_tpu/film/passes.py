@@ -29,13 +29,19 @@ PASS_SOURCES = {
     "direct": ("direct", 3),
 }
 
-PASS_NAMES = tuple(PASS_SOURCES)
+# post-processed passes computed from other planes at flush (reference's
+# toon & object-edge passes are film post-filters — SURVEY §2.11)
+POST_PASSES = ("edge", "toon")
+PASS_NAMES = tuple(PASS_SOURCES) + POST_PASSES
 
 
 def film_add_passes(film: dict, h: int, w: int, passes: tuple) -> dict:
     """Allocate the accumulation planes needed by the requested passes."""
     need: dict[str, int] = {}
     for p in passes:
+        if p in POST_PASSES:  # edge/toon need normals + z
+            need["normal"] = 3
+            need["z"] = 1
         if p in PASS_SOURCES:
             src, ch = PASS_SOURCES[p]
             need[src] = ch
@@ -65,4 +71,29 @@ def extract_passes(film: dict, passes: tuple) -> dict:
             m = plane.max() or 1.0
             plane = plane / m
         out[p] = plane.astype(np.float32)
+    for p in passes:
+        if p not in POST_PASSES:
+            continue
+        ns2 = np.maximum(np.asarray(film["nsamples"], np.float32), 1.0)
+        nrm = np.asarray(film["aov_normal"]) / ns2[..., None]
+        z = (np.asarray(film["aov_z"]) / ns2[..., None])[..., 0]
+
+        def grad(a):
+            gx = np.zeros_like(a)
+            gy = np.zeros_like(a)
+            gx[:, 1:] = a[:, 1:] - a[:, :-1]
+            gy[1:, :] = a[1:, :] - a[:-1, :]
+            return np.abs(gx) + np.abs(gy)
+
+        e_n = grad(nrm[..., 0]) + grad(nrm[..., 1]) + grad(nrm[..., 2])
+        zmax = z.max() or 1.0
+        e_z = grad(z / zmax)
+        edge = np.clip(e_n * 0.5 + e_z * 4.0, 0.0, 1.0)
+        if p == "edge":
+            out[p] = np.repeat(edge[..., None], 3, axis=-1).astype(np.float32)
+        else:  # toon: quantized combined color with dark edges
+            img = np.asarray(film["wsum"]) / np.maximum(
+                np.asarray(film["w"]), 1e-8)[..., None]
+            quant = np.round(np.clip(img, 0, 1) * 4.0) / 4.0
+            out[p] = (quant * (1.0 - edge[..., None])).astype(np.float32)
     return out

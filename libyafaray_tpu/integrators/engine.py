@@ -47,7 +47,7 @@ def _closest_hit(scene_arrays, static, org, dirn, tmin=None, tmax=None):
                                org, dirn, tmin, tmax)
     from ..ops import pallas_intersect as pli
 
-    if (pli._use_pallas() and static.n_tris_real <= 128
+    if (pli._use_pallas() and static.n_tris_real <= pli.MAX_TRIS
             and "tri_pack9" in scene_arrays):
         n = org.shape[0]
         if tmin is None:
@@ -77,7 +77,7 @@ def _shadow_transmission(scene_arrays, static, cfg, org, dirn, dist):
 
     n_stris = scene_arrays.get("stri_pack9", None)
     if (pli._use_pallas() and n_stris is not None
-            and n_stris.shape[1] <= 128):
+            and n_stris.shape[1] <= pli.MAX_TRIS):
         filt4 = (scene_arrays["sfilt4"] if cfg.transp_shad
                  else scene_arrays["sfilt4_binary"])
         return pli.shadow_transmission_pallas(
@@ -231,11 +231,14 @@ def _ambient_occlusion(scene_arrays, static, cfg, sp, row, wo, n_f,
 
 
 def make_sample_step(static, camera, cfg: RenderConfig,
-                     mode: str | None = None):
+                     mode: str | None = None, caustic=None):
     """Builds the jittable one-sample-per-pixel step function.
 
     mode: "path" (pathtracing) or "direct" (directlighting: continuation
     only through specular/dispersive chains, depth = raydepth).
+    caustic: optional (grid, radius, n_emitted) caustic photon map — adds
+    the reference's caustic_type photon/both term (photonintegr-style
+    density estimate at the first diffuse vertex).
     """
     mode = mode or ("path" if cfg.integrator == "pathtracing" else "direct")
     h, w = cfg.height, cfg.width
@@ -361,6 +364,26 @@ def make_sample_step(static, camera, cfg: RenderConfig,
             ao = _ambient_occlusion(scene_arrays, static, cfg, sp_sh,
                                     row, wo, ng_sh, s_idx, skey_b)
             L = L + jnp.where(alive[..., None], throughput * ao, 0.0)
+
+        if caustic is not None and first:
+            # caustic photon map lookup at the first diffuse hit
+            # (reference pathtracer caustic_type photon/both)
+            import numpy as _np
+
+            from ..core.sampling import INV_PI as _INV_PI
+            from ..materials.base import MT_COATED_GLOSSY as _MTC, \
+                MT_GLOSSY as _MTG, MT_SHINYDIFFUSE as _MTS
+            from ..ops.photon_grid import density_estimate as _dens
+
+            c_grid, c_radius, c_nem = caustic
+            cflux, _ = _dens(c_grid, sp["p"], n_sh, c_radius)
+            lc = cflux / (_np.pi * c_radius * c_radius) / c_nem
+            f_c = (row["diffuse_reflect"][..., None]
+                   * row["diffuse_color"] * _INV_PI)
+            mt_ = row["mtype"]
+            is_diff = (mt_ == _MTS) | (mt_ == _MTG) | (mt_ == _MTC)
+            L = L + jnp.where((alive & is_diff)[..., None],
+                              throughput * f_c * lc, 0.0)
 
         # ---- continuation ----
         if dyn:

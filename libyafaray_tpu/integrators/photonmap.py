@@ -53,6 +53,33 @@ def _light_cdf(static, arrays):
     return cdf, float(total)
 
 
+def build_caustic_map(cscene, cfg: RenderConfig, arrays):
+    """Caustic-only map for the path tracer's caustic_type=photon/both
+    (reference createCausticMap shared by directlight & pathtracer).
+    Returns (grid, radius, n_emitted) or None."""
+    static = cscene.static
+    cdf, total_flux = _light_cdf(static, arrays)
+    if total_flux <= 0:
+        return None
+    scene_diag = float(np.linalg.norm(
+        np.asarray(cscene.bound_max) - np.asarray(cscene.bound_min)))
+    c_radius = cfg.caustic_radius if cfg.caustic_radius > 0 else \
+        scene_diag * 0.005
+    lanes = min(MAX_PHOTON_LANES, max(1024, cfg.caustic_photons))
+    shoot = jax.jit(make_photon_pass(static, cfg, lanes,
+                                     cfg.photon_bounces, "caustic"))
+    rec = shoot(arrays, jnp.asarray(cdf), total_flux, jnp.uint32(777))
+    n_stored = int(jnp.sum(rec["valid"]))
+    log.info("caustic map for pathtracer: %d stores / %d emitted",
+             n_stored, lanes)
+    if n_stored == 0:
+        return None
+    bmin = jnp.asarray(cscene.bound_min) - 1e-3
+    grid = build_photon_grid(rec["pos"], rec["valid"], c_radius, bmin,
+                             dict(dir=rec["dir"], power=rec["power"]))
+    return grid, c_radius, lanes
+
+
 def build_photon_maps(cscene, cfg: RenderConfig, arrays):
     """Shoot diffuse + caustic maps; returns (diffuse_grid, caustic_grid,
     radiance_grid, n_diffuse_emitted, n_caustic_emitted)."""

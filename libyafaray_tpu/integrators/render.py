@@ -56,7 +56,14 @@ def render(cscene: CompiledScene, cfg: RenderConfig,
     t0 = time.perf_counter()
     arrays = device_put_scene(cscene)
 
-    step = make_sample_step(cscene.static, cscene.camera, cfg)
+    caustic = None
+    if (cfg.integrator == "pathtracing"
+            and cfg.caustic_type in ("photon", "both")):
+        from .photonmap import build_caustic_map
+
+        caustic = build_caustic_map(cscene, cfg, arrays)
+    step = make_sample_step(cscene.static, cscene.camera, cfg,
+                            caustic=caustic)
     step_j = jax.jit(step, donate_argnums=(1,))
 
     film = film_init(cfg.height, cfg.width)

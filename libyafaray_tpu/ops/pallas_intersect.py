@@ -24,6 +24,8 @@ LANE = 128
 ROWS = 32  # rays per block = ROWS * LANE
 INTERPRET = False  # tests flip this to run kernels on CPU
 NEG_EPS = 1e-12
+UNROLL_TRIS = 64  # static unroll below; lax.fori_loop above
+MAX_TRIS = 4096  # VMEM-resident triangle budget (9*T*4 bytes)
 
 
 def _use_pallas() -> bool:
@@ -33,18 +35,19 @@ def _use_pallas() -> bool:
         return False
 
 
-def _mt_test(tri_ref, k, ox, oy, oz, dx, dy, dz):
-    """Möller-Trumbore test of one triangle (scalars from tri_ref) against
-    a (ROWS, LANE) ray tile. Returns (t, u, v, det_ok)."""
-    v0x = tri_ref[0, k]
-    v0y = tri_ref[1, k]
-    v0z = tri_ref[2, k]
-    e1x = tri_ref[3, k]
-    e1y = tri_ref[4, k]
-    e1z = tri_ref[5, k]
-    e2x = tri_ref[6, k]
-    e2y = tri_ref[7, k]
-    e2z = tri_ref[8, k]
+def _mt_test(tri9, k, ox, oy, oz, dx, dy, dz):
+    """Möller-Trumbore test of one triangle (scalar column k of tri9 — a
+    ref or a loaded chunk value, k static) against a (ROWS, LANE) ray
+    tile.  Returns (t, u, v, det_ok)."""
+    v0x = tri9[0, k]
+    v0y = tri9[1, k]
+    v0z = tri9[2, k]
+    e1x = tri9[3, k]
+    e1y = tri9[4, k]
+    e1z = tri9[5, k]
+    e2x = tri9[6, k]
+    e2y = tri9[7, k]
+    e2z = tri9[8, k]
     px = dy * e2z - dz * e2y
     py = dz * e2x - dx * e2z
     pz = dx * e2y - dy * e2x
@@ -70,20 +73,42 @@ def _closest_kernel(tri_ref, org_ref, dir_ref, tlim_ref,
     dx, dy, dz = dir_ref[0], dir_ref[1], dir_ref[2]
     tmin, tmax = tlim_ref[0], tlim_ref[1]
 
-    best_t = tmax
+    # no bool vectors in the loop carry (Mosaic can't legalize i1 loop
+    # args): hit is derived from best_t at the end
+    best_t = jnp.full_like(tmax, jnp.inf)
     best_u = jnp.zeros_like(best_t)
     best_v = jnp.zeros_like(best_t)
     best_k = jnp.zeros_like(best_t, dtype=jnp.int32)
-    hit = jnp.zeros_like(best_t, dtype=jnp.bool_)
 
-    for k in range(n_tris):
-        t, u, v, ok = _mt_test(tri_ref, k, ox, oy, oz, dx, dy, dz)
-        ok = ok & (t > tmin) & (t < best_t)
+    def step(tri9, k, kid, carry):
+        best_t, best_u, best_v, best_k = carry
+        t, u, v, ok = _mt_test(tri9, k, ox, oy, oz, dx, dy, dz)
+        ok = ok & (t > tmin) & (t < best_t) & (t < tmax)
         best_t = jnp.where(ok, t, best_t)
         best_u = jnp.where(ok, u, best_u)
         best_v = jnp.where(ok, v, best_v)
-        best_k = jnp.where(ok, k, best_k)
-        hit = hit | ok
+        best_k = jnp.where(ok, kid, best_k)
+        return best_t, best_u, best_v, best_k
+
+    carry = (best_t, best_u, best_v, best_k)
+    if n_tris <= UNROLL_TRIS:
+        for k in range(n_tris):
+            carry = step(tri_ref, k, jnp.int32(k), carry)
+    else:
+        # chunked: fori over 128-wide aligned chunks loaded into registers;
+        # static inner unroll extracts per-triangle scalars from the value
+        n_chunks = tri_ref.shape[1] // LANE
+
+        def chunk_step(c, carry):
+            chunk = tri_ref[:, pl.ds(c * LANE, LANE)]
+            base = c * LANE
+            for k in range(LANE):
+                carry = step(chunk, k, base + k, carry)
+            return carry
+
+        carry = jax.lax.fori_loop(0, n_chunks, chunk_step, carry)
+    best_t, best_u, best_v, best_k = carry
+    hit = jnp.isfinite(best_t)
 
     t_out[:, :] = jnp.where(hit, best_t, jnp.inf)
     tri_out[:, :] = best_k
@@ -99,16 +124,31 @@ def _shadow_kernel(tri_ref, filt_ref, org_ref, dir_ref, dist_ref,
     tmin = 5e-4
     tmax = dist * (1.0 - 1e-4) - 5e-4
 
-    tr_r = jnp.ones_like(ox)
-    tr_g = jnp.ones_like(ox)
-    tr_b = jnp.ones_like(ox)
-
-    for k in range(n_tris):
-        t, u, v, ok = _mt_test(tri_ref, k, ox, oy, oz, dx, dy, dz)
+    def step(tri9, filt, k, carry):
+        tr_r, tr_g, tr_b = carry
+        t, u, v, ok = _mt_test(tri9, k, ox, oy, oz, dx, dy, dz)
         okf = (ok & (t > tmin) & (t < tmax)).astype(jnp.float32)
-        tr_r = tr_r * (1.0 - okf * (1.0 - filt_ref[0, k]))
-        tr_g = tr_g * (1.0 - okf * (1.0 - filt_ref[1, k]))
-        tr_b = tr_b * (1.0 - okf * (1.0 - filt_ref[2, k]))
+        tr_r = tr_r * (1.0 - okf * (1.0 - filt[0, k]))
+        tr_g = tr_g * (1.0 - okf * (1.0 - filt[1, k]))
+        tr_b = tr_b * (1.0 - okf * (1.0 - filt[2, k]))
+        return tr_r, tr_g, tr_b
+
+    carry = (jnp.ones_like(ox), jnp.ones_like(ox), jnp.ones_like(ox))
+    if n_tris <= UNROLL_TRIS:
+        for k in range(n_tris):
+            carry = step(tri_ref, filt_ref, k, carry)
+    else:
+        n_chunks = tri_ref.shape[1] // LANE
+
+        def chunk_step(c, carry):
+            chunk = tri_ref[:, pl.ds(c * LANE, LANE)]
+            fchunk = filt_ref[:, pl.ds(c * LANE, LANE)]
+            for k in range(LANE):
+                carry = step(chunk, fchunk, k, carry)
+            return carry
+
+        carry = jax.lax.fori_loop(0, n_chunks, chunk_step, carry)
+    tr_r, tr_g, tr_b = carry
 
     tr_out[0] = tr_r
     tr_out[1] = tr_g
@@ -135,6 +175,10 @@ def closest_hit_pallas(tri_pack9, org, dirn, tmin, tmax, n_tris: int):
     tlim, _ = _to_tiles(jnp.stack([tmin, tmax], axis=0))
     m = org_t.shape[1]
     grid = (m // ROWS,)
+    if n_tris > UNROLL_TRIS:
+        pad = (-tri_pack9.shape[1]) % LANE
+        if pad:
+            tri_pack9 = jnp.pad(tri_pack9, ((0, 0), (0, pad)))
 
     kernel = functools.partial(_closest_kernel, n_tris=n_tris)
     ray_spec = lambda c: pl.BlockSpec((c, ROWS, LANE), lambda i: (0, i, 0),
@@ -172,6 +216,11 @@ def shadow_transmission_pallas(tri_pack9, filt4, org, dirn, dist,
     dist_t, _ = _to_tiles(dist[None, :])
     m = org_t.shape[1]
     grid = (m // ROWS,)
+    if n_tris > UNROLL_TRIS:
+        pad = (-tri_pack9.shape[1]) % LANE
+        if pad:
+            tri_pack9 = jnp.pad(tri_pack9, ((0, 0), (0, pad)))
+            filt4 = jnp.pad(filt4, ((0, 0), (0, pad)))
 
     kernel = functools.partial(_shadow_kernel, n_tris=n_tris)
     ray_spec = lambda c: pl.BlockSpec((c, ROWS, LANE), lambda i: (0, i, 0),

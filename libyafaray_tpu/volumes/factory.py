@@ -23,6 +23,25 @@ _TYPES = {
 }
 
 
+def read_df3(path: str):
+    """POV-Ray DF3 density file: 3x uint16 BE dims then scalar voxels
+    (8/16/32-bit BE) — the loader the reference's GridVolume uses."""
+    import numpy as np
+
+    with open(path, "rb") as f:
+        data = f.read()
+    nx, ny, nz = (int.from_bytes(data[i:i + 2], "big") for i in (0, 2, 4))
+    vox = data[6:]
+    n = nx * ny * nz
+    if len(vox) >= 4 * n:
+        arr = np.frombuffer(vox, ">u4", n).astype(np.float32) / 4294967295.0
+    elif len(vox) >= 2 * n:
+        arr = np.frombuffer(vox, ">u2", n).astype(np.float32) / 65535.0
+    else:
+        arr = np.frombuffer(vox, "u1", n).astype(np.float32) / 255.0
+    return arr.reshape(nz, ny, nx)
+
+
 @dataclass(frozen=True)
 class VolumeRegion:
     vtype: int
@@ -39,6 +58,9 @@ class VolumeRegion:
     sharpness: float = 1.0
     cover: float = 1.0
     density: float = 1.0
+    # GridVolume: hashable grid payload (tuple of floats + dims)
+    grid_shape: tuple = ()
+    grid_data: tuple = ()
 
 
 def volume_from_params(params: ParamMap) -> VolumeRegion:
@@ -46,6 +68,19 @@ def volume_from_params(params: ParamMap) -> VolumeRegion:
     if tname not in _TYPES:
         log.warning("unknown volume type %r; UniformVolume", tname)
         tname = "UniformVolume"
+    grid_shape = ()
+    grid_data = ()
+    if _TYPES[tname] == VOL_GRID:
+        import logging as _lg
+
+        fname = params.get_str("density_file", params.get_str("file", ""))
+        try:
+            g = read_df3(fname)
+            grid_shape = tuple(int(x) for x in g.shape)
+            grid_data = tuple(float(x) for x in g.reshape(-1))
+        except Exception as e:  # noqa: BLE001
+            _lg.getLogger("libyafaray_tpu").warning(
+                "GridVolume: cannot read %r (%s); uniform fallback", fname, e)
     return VolumeRegion(
         vtype=_TYPES[tname],
         bmin=(params.get_float("minX", -1.0), params.get_float("minY", -1.0),
@@ -61,4 +96,6 @@ def volume_from_params(params: ParamMap) -> VolumeRegion:
         sharpness=params.get_float("sharpness", 1.0),
         cover=params.get_float("cover", 1.0),
         density=params.get_float("density", 1.0),
+        grid_shape=grid_shape,
+        grid_data=grid_data,
     )

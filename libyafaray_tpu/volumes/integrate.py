@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from ..core import math as vmath
 from ..core import qmc
 from ..lights import base as lightmod
-from .factory import VOL_EXP, VOL_NOISE, VOL_UNIFORM, VolumeRegion
+from .factory import VOL_EXP, VOL_GRID, VOL_NOISE, VOL_UNIFORM, \
+    VolumeRegion
 
 MARCH_STEPS = 16
 
@@ -69,6 +70,17 @@ def _density(vol: VolumeRegion, p):
         n = lerp(lerp(c00, c10, fy), lerp(c01, c11, fy), fz)
         d = (n - (1.0 - vol.cover)) * vol.sharpness
         return jnp.clip(d, 0.0, 1.0) * vol.density
+    if vol.vtype == VOL_GRID and vol.grid_shape:
+        nz, ny, nx = vol.grid_shape
+        g = jnp.asarray(vol.grid_data, jnp.float32).reshape(nz, ny, nx)
+        bmin = jnp.asarray(vol.bmin, jnp.float32)
+        bmax = jnp.asarray(vol.bmax, jnp.float32)
+        rel = (p - bmin) / jnp.maximum(bmax - bmin, 1e-9)
+        ix = jnp.clip((rel[..., 0] * nx).astype(jnp.int32), 0, nx - 1)
+        iy = jnp.clip((rel[..., 1] * ny).astype(jnp.int32), 0, ny - 1)
+        iz = jnp.clip((rel[..., 2] * nz).astype(jnp.int32), 0, nz - 1)
+        inside = jnp.all((rel >= 0.0) & (rel <= 1.0), axis=-1)
+        return jnp.where(inside, g[iz, iy, ix], 0.0)
     return jnp.ones(p.shape[:-1], jnp.float32)
 
 
