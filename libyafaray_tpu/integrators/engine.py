@@ -123,6 +123,16 @@ _LIGHT_SAMPLERS = {
 
 
 def _sample_one_light(scene_arrays, static, li, ls, lrow, p, u1, u2):
+    if ls.ltype == lightmod.LT_PORTAL:
+        tri_cdf = scene_arrays[f"mlight_cdf_{li}"]
+        tri_pos = lax.slice_in_dim(
+            scene_arrays["tri_pos"], ls.tri_start,
+            ls.tri_start + ls.tri_count, axis=0)
+        smp = lightmod.sample_mesh_light(lrow, p, u1, u2, tri_cdf, tri_pos)
+        bg = eval_background(static.bg, scene_arrays.get("bg_image"),
+                             smp["wi"])
+        smp["li"] = bg * lrow["power"]
+        return smp
     if ls.ltype == lightmod.LT_MESH:
         tri_cdf = scene_arrays[f"mlight_cdf_{li}"]
         tri_pos = lax.slice_in_dim(
@@ -145,12 +155,17 @@ def _sample_one_light(scene_arrays, static, li, ls, lrow, p, u1, u2):
 
 
 def _direct_lighting(scene_arrays, static, cfg, sp, row, wo, n_f,
-                     s_idx, skey, bounce_dim, ns_scale=1):
+                     s_idx, skey, bounce_dim, ns_scale=1,
+                     mis_with_bsdf=True):
     """NEE with two-strategy MIS over all enabled lights (reference
     estimateAllDirectLight / estimateOneDirect).  Returns (L, n_shadow_rays).
     `bounce_dim` may be a traced dim base (dynamic inside the bounce scan).
     ns_scale=1 uses each light's full `samples` count (primary vertices);
-    0 forces 1 sample per light (deep path vertices)."""
+    0 forces 1 sample per light (deep path vertices).
+    mis_with_bsdf=False -> single-strategy NEE (weight 1): required when the
+    caller never evaluates the BSDF-sample counterpart (directlighting mode
+    kills non-specular continuations, so MIS weights would silently drop
+    that share of the energy)."""
     L = jnp.zeros_like(sp["p"])
     nrays = 0
     dyn = not isinstance(bounce_dim, int)
@@ -188,7 +203,7 @@ def _direct_lighting(scene_arrays, static, cfg, sp, row, wo, n_f,
             else:
                 tr = jnp.ones_like(f)
             term = f * smp["li"] * tr * contrib_w[..., None]
-            if (not ls.is_delta) and ls.intersectable:
+            if mis_with_bsdf and (not ls.is_delta) and ls.intersectable:
                 bpdf = blendmod.pdf_bsdf(scene_arrays["materials"],
                                          row, sp["n"], sp["ng"], wo,
                                          smp["wi"], static.has_blend,
@@ -249,6 +264,10 @@ def make_sample_step(static, camera, cfg: RenderConfig,
         ls.ltype == lightmod.LT_BACKGROUND and ls.enabled
         for ls in static.lights
     )
+    has_portal = any(
+        ls.ltype == lightmod.LT_PORTAL and ls.enabled
+        for ls in static.lights
+    )
     lane_pix = jnp.arange(n, dtype=jnp.int32) % (h * w)
     lane_k = (jnp.arange(n, dtype=jnp.int32) // (h * w)).astype(jnp.uint32)
     py, px = jnp.divmod(lane_pix, w)
@@ -296,6 +315,10 @@ def make_sample_step(static, camera, cfg: RenderConfig,
             w_bg = jnp.where(spec_mask, 1.0,
                              power_heuristic(prev_pdf, pdf_bg))
             bg = bg * w_bg[..., None]
+        elif has_portal:
+            # portal NEE is the sole background strategy at non-specular
+            # vertices (see lights/factory.py bgPortalLight note)
+            bg = bg * jnp.where(spec_mask, 1.0, 0.0)[..., None]
         L = L + jnp.where(escape[..., None], throughput * bg, 0.0)
         alive = alive & hit.hit
 
@@ -351,6 +374,7 @@ def make_sample_step(static, camera, cfg: RenderConfig,
         Ld, sh_rays = _direct_lighting(
             scene_arrays, static, cfg, sp_sh, row, wo, ng_sh,
             s_idx, skey_b, bounce_dim, 1 if first else 0,
+            mis_with_bsdf=(mode == "path"),
         )
         if cfg.aa_clamp_indirect > 0.0 and not first:
             m = jnp.max(Ld, axis=-1, keepdims=True)
@@ -434,8 +458,10 @@ def make_sample_step(static, camera, cfg: RenderConfig,
         off = jnp.where(smp["transmit"], -1.0, 1.0)[..., None]
         org = sp["p"] + ng_sh * off * static.shadow_bias
         dirn = smp["wi"]
-        spec_mask = smp["specular"]
-        prev_pdf = smp["pdf"]
+        # null pass-through keeps the MIS state of the last REAL vertex
+        pt = smp["passthrough"]
+        spec_mask = jnp.where(pt, spec_mask, smp["specular"])
+        prev_pdf = jnp.where(pt, prev_pdf, smp["pdf"])
         nrays = nrays + jnp.sum(alive.astype(jnp.float32))
         state = (org, dirn, throughput, alive, spec_mask, prev_pdf,
                  medium_sigma, wavelength, L, nrays)

@@ -215,7 +215,7 @@ def make_photon_sample_step(cscene, cfg: RenderConfig, grids):
             # direct light (NEE, full sample counts)
             Ld, sh_rays = _direct_lighting(
                 arrays, static, cfg, sp_sh, row, wo, ng_sh, s_idx, skey_b,
-                bdim, 1,
+                bdim, 1, mis_with_bsdf=False,
             )
             L = L + jnp.where(shade_here[..., None], throughput * Ld, 0.0)
             nrays = nrays + sh_rays * jnp.sum(shade_here.astype(jnp.float32))
@@ -233,9 +233,13 @@ def make_photon_sample_step(cscene, cfg: RenderConfig, grids):
             # indirect: final gather over the radiance map, or direct
             # global-map density estimate
             if radiance_grid is not None:
-                ind = jnp.zeros((n, 3), jnp.float32)
-                for s in range(cfg.fg_samples):
-                    skey_f = qmc.hash_combine(skey_b, jnp.uint32(0xF6 + s))
+                # final gather under lax.scan: the body (cosine ray ->
+                # closest hit -> nearest radiance photon) is traced once,
+                # not fg_samples times (keeps the compiled graph small
+                # enough for the TPU compiler)
+                def fg_body(acc, s):
+                    skey_f = qmc.hash_combine(skey_b,
+                                              jnp.uint32(0xF6) + s)
                     u1 = qmc.sample_dim(s_idx, bdim + qmc.SLOT_BSDF_U,
                                         skey_f)
                     u2 = qmc.sample_dim(s_idx, bdim + qmc.SLOT_BSDF_V,
@@ -243,18 +247,23 @@ def make_photon_sample_step(cscene, cfg: RenderConfig, grids):
                     gd, _ = sample_cos_hemisphere(n_sh, u1, u2)
                     gorg = sp["p"] + ng_sh * static.shadow_bias
                     ghit = _closest_hit(arrays, static, gorg, gd,
-                                        tmin=jnp.full((n,),
-                                                      static.ray_min_dist,
-                                                      jnp.float32))
+                                        tmin=jnp.full(
+                                            (n,), static.ray_min_dist,
+                                            jnp.float32))
                     gsp = _surface_point(arrays, ghit, gorg, gd)
                     rad, found = nearest_photon(
-                        radiance_grid, gsp["p"], d_radius * 4.0, "radiance")
+                        radiance_grid, gsp["p"], d_radius * 4.0,
+                        "radiance")
                     gbg = eval_background(static.bg,
                                           arrays.get("bg_image"), gd)
                     li = jnp.where(ghit.hit[..., None],
                                    jnp.where(found[..., None], rad, 0.0),
                                    gbg)
-                    ind = ind + li
+                    return acc + li, None
+
+                ind, _ = jax.lax.scan(
+                    fg_body, jnp.zeros((n, 3), jnp.float32),
+                    jnp.arange(cfg.fg_samples, dtype=jnp.uint32))
                 # cosine sampling of a Lambertian: f·cos/pdf = ρ
                 ind = ind / cfg.fg_samples * row["diffuse_color"] \
                     * row["diffuse_reflect"][..., None]

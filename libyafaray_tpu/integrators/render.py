@@ -83,6 +83,7 @@ def render(cscene: CompiledScene, cfg: RenderConfig,
 
     ones = jnp.ones((cfg.height, cfg.width), jnp.bool_)
     t_compile0 = time.perf_counter()
+    first_step_s = None
     for p in range(start_pass, cfg.aa_passes):
         spb = max(1, cfg.spp_batch)
         if p == 0:
@@ -97,7 +98,13 @@ def render(cscene: CompiledScene, cfg: RenderConfig,
             n_steps = -(-cfg.aa_inc_samples // spb)
         last_autosave = time.perf_counter()
         for s in range(n_steps):
-            film = step_j(arrays, film, flags)
+            if first_step_s is None:
+                t_f = time.perf_counter()
+                film = step_j(arrays, film, flags)
+                jax.block_until_ready(film["wsum"])
+                first_step_s = time.perf_counter() - t_f
+            else:
+                film = step_j(arrays, film, flags)
             if (cfg.autosave_interval_type == "time" and film_path
                     and time.perf_counter() - last_autosave
                     > cfg.autosave_interval):
@@ -115,6 +122,8 @@ def render(cscene: CompiledScene, cfg: RenderConfig,
     jax.block_until_ready(film["wsum"])
     t1 = time.perf_counter()
     stats["render_s"] = t1 - t_compile0
+    stats["first_step_s"] = first_step_s or 0.0  # ~ jit compile time
+    stats["steady_s"] = t1 - t_compile0 - (first_step_s or 0.0)
     stats["total_s"] = t1 - t0
     stats["rays"] = float(film["rays"])
     stats["passes"] = cfg.aa_passes

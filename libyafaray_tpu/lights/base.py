@@ -36,6 +36,7 @@ LT_DIRECTIONAL = 5
 LT_MESH = 6
 LT_BACKGROUND = 7
 LT_IES = 8
+LT_PORTAL = 9
 
 _F3 = ["p0", "e1", "e2", "direction", "radiance", "intensity"]
 _F1 = ["power", "radius", "cos_start", "cos_end", "area", "cos_angle",

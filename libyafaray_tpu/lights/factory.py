@@ -125,13 +125,32 @@ def light_from_params(params: ParamMap):
         row["_color"] = tuple(color)
         row["_power"] = power
 
-    elif lt in ("bglight", "bgPortalLight"):
+    elif lt == "bglight":
         # created by the scene from the background (ibl flag) — stage:
         # lights/bglight.py fills the CDF tables
         row["ltype"] = 7  # LT_BACKGROUND
         row["samples"] = max(1, params.get_int("ibl_samples",
                                                params.get_int("samples", 16)))
         row["intersectable"] = True
+
+    elif lt == "bgPortalLight":
+        # portal re-sampling of the background through a mesh (reference
+        # bgportallight.cc): area-sample the portal geometry, radiance from
+        # the background along the sampled direction.  Estimator note: with
+        # a portal light, background energy at non-specular vertices comes
+        # exclusively through NEE (the engine zeroes diffuse-escape
+        # background to avoid double counting) — unbiased when every escape
+        # path crosses a portal, the light's intended use.
+        from .base import LT_PORTAL
+
+        row["ltype"] = LT_PORTAL
+        row["_object"] = params.get_str("object_name",
+                                        str(params.get_int("object", 0)))
+        row["_color"] = (1.0, 1.0, 1.0)
+        row["_power"] = params.get_float("power", 1.0)
+        row["power"] = row["_power"]  # table field read by the sampler
+        row["samples"] = max(1, params.get_int("samples", 16))
+        row["intersectable"] = False
 
     elif lt == "ieslight":
         from .base import LT_IES

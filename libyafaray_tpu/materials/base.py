@@ -63,13 +63,13 @@ _SCALAR_COLS = [
     "diffuse_reflect", "specular_reflect", "transparency", "translucency",
     "emit_strength", "ior", "sigma", "exponent", "exp_u", "exp_v",
     "glossy_reflect", "dispersion_power", "blend_value", "mask_threshold",
-    "wireframe_amount",
+    "wireframe_amount", "tex_colorfac",
 ]
 _VEC3_COLS = [
     "diffuse_color", "mirror_color", "glossy_color", "filter_color",
     "absorption_sigma", "emit_color", "mask_color",
 ]
-_INT_COLS = ["mtype", "sub_mat1", "sub_mat2",
+_INT_COLS = ["mtype", "sub_mat1", "sub_mat2", "tex_blend_mode",
              # shader-node slots (texture index, -1 = none)
              "tex_diffuse", "tex_glossy", "tex_bump", "tex_mirror",
              "tex_transparency", "tex_translucency", "tex_blend", "tex_mask",
@@ -88,6 +88,8 @@ def default_row() -> dict:
     row["diffuse_reflect"] = 1.0
     row["glossy_reflect"] = 1.0
     row["receive_shadows"] = True
+    row["tex_colorfac"] = 1.0
+    row["tex_blend_mode"] = 0  # mix
     return row
 
 

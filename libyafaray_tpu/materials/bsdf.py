@@ -299,6 +299,9 @@ def sample_bsdf(row, n, ng, wo, u1, u2, u_lobe, wavelength=None,
         wi=vmath.normalize(wi), tp=tp, pdf=pdf,
         specular=specular, transmit=transmit,
         entering=entering & transmit, valid=valid,
+        # null transmission is NOT a scattering event: callers must
+        # preserve their MIS state (spec_mask/prev_pdf) across it
+        passthrough=is_null & transmit,
     )
     if wavelength is not None:
         became = is_glass & dispersive & transmit & (wavelength < 0.0)

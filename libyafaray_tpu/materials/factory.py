@@ -14,6 +14,16 @@ from .base import MATERIAL_TYPE_NAMES, MT_BLEND, MT_GLASS, MT_LIGHT, \
 
 log = logging.getLogger("libyafaray_tpu")
 
+# reference layernode blend modes (SURVEY §2.4: ~18 Blender modes; the
+# structurally distinct ones are implemented, the hue/sat family maps to
+# mix pending a color-space stage)
+_BLEND_MODES = {
+    "mix": 0, "add": 1, "sub": 2, "subtract": 2, "mul": 3, "multiply": 3,
+    "screen": 4, "difference": 5, "darken": 6, "lighten": 7, "div": 8,
+    "divide": 8, "overlay": 9,
+    "hue": 0, "saturation": 0, "value": 0, "color": 0, "stencil": 0,
+}
+
 
 def material_row_from_params(params: ParamMap, mat_name_to_id: dict,
                              tex_name_to_id: dict | None = None,
@@ -130,6 +140,16 @@ def material_row_from_params(params: ParamMap, mat_name_to_id: dict,
                     src = nd.get_str(src_key, "")
                     if src in node_to_tex:
                         node_to_tex[name] = node_to_tex[src]
+                        # record the layer's blend mode / colorfac; applied
+                        # when mixing the texture over the material's base
+                        # parameter (reference layernode.cc blend modes)
+                        row["tex_blend_mode"] = _BLEND_MODES.get(
+                            nd.get_str("blend_mode",
+                                       nd.get_str("mode", "mix")), 0)
+                        row["tex_colorfac"] = nd.get_float("colfac",
+                                                           nd.get_float(
+                                                               "colorfac",
+                                                               1.0))
                         break
 
     for slot, key in (

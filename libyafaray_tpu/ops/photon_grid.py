@@ -93,14 +93,15 @@ def gather_photons(grid: dict, query_p, radius, accumulate_fn, init,
                                "inv_cell", "table_size", "cell_size")]
     p_total = hs.shape[0]
 
-    carry = init
-    for off in _NEIGHBOR_OFFSETS:
-        c = qc + jnp.asarray(off, jnp.int32)
+    offsets = jnp.asarray(_NEIGHBOR_OFFSETS, jnp.int32)  # (27, 3)
+
+    def per_offset(carry, off):
+        c = qc + off
         h = _cell_hash(c, grid["table_size"])
         start = jnp.searchsorted(hs, h, side="left").astype(jnp.int32)
 
-        def scan_cell(k, carry_start):
-            carry, start = carry_start
+        def scan_cell(k, inner):
+            carry = inner
             idx = jnp.minimum(start + k, p_total - 1)
             in_run = (start + k < p_total) & (hs[idx] == h)
             ppos = grid["pos"][idx]
@@ -111,12 +112,12 @@ def gather_photons(grid: dict, query_p, radius, accumulate_fn, init,
             photon = {k2: grid[k2][idx] for k2 in extra_keys}
             photon["pos"] = ppos
             photon["d2"] = d2
-            carry = accumulate_fn(carry, photon, w)
-            return carry, start
+            return accumulate_fn(carry, photon, w)
 
-        carry, _ = jax.lax.fori_loop(
-            0, max_per_cell, scan_cell, (carry, start)
-        )
+        carry = jax.lax.fori_loop(0, max_per_cell, scan_cell, carry)
+        return carry, None
+
+    carry, _ = jax.lax.scan(per_offset, init, offsets)
     return carry
 
 

@@ -352,7 +352,8 @@ class Scene:
             row["radiance"] = tuple(rad)
             row["tri_start"] = start
             row["tri_count"] = cnt
-            light_id[start:start + cnt] = li
+            if row["ltype"] == LT_MESH:  # portals don't emit at hits
+                light_id[start:start + cnt] = li
 
         v0 = pos[:, 0]
         e1 = pos[:, 1] - pos[:, 0]
@@ -417,7 +418,8 @@ class Scene:
         # area lights emit through their synthetic light_mat)
         hit_rad = np.zeros((len(all_lights), 3), np.float32)
         for li, r in enumerate(all_lights):
-            if "_object" in r and r.get("enabled", True):
+            if ("_object" in r and r.get("enabled", True)
+                    and r["ltype"] == LT_MESH):
                 hit_rad[li] = np.asarray(r["radiance"], np.float32)
         lights_table["hit_radiance"] = hit_rad
         # packed per-light emission-hit attributes (one gather in the

@@ -21,6 +21,32 @@ import jax.numpy as jnp
 from ..core.color import luminance
 
 
+def _blend(base, tex, mode, fac):
+    """Layer-node blend of texture over the material's base parameter
+    (reference layernode.cc modes); mode (N,) int, fac (N,)."""
+    f = fac[..., None]
+    one = 1.0
+    outs = [
+        base * (one - f) + tex * f,                      # 0 mix
+        base + tex * f,                                  # 1 add
+        base - tex * f,                                  # 2 sub
+        base * ((one - f) + tex * f),                    # 3 mul
+        one - (one - base) * (one - tex * f),            # 4 screen
+        base * (one - f) + jnp.abs(base - tex) * f,      # 5 difference
+        jnp.minimum(base, tex * f + base * (one - f)),   # 6 darken
+        jnp.maximum(base, tex * f),                      # 7 lighten
+        base * (one - f) + f * base / jnp.maximum(tex, 1e-4),  # 8 divide
+        jnp.where(base < 0.5,                            # 9 overlay
+                  2.0 * base * (tex * f + base * (one - f)),
+                  one - 2.0 * (one - base) * (one - (tex * f
+                                                     + base * (one - f)))),
+    ]
+    out = outs[0]
+    for i in range(1, len(outs)):
+        out = jnp.where((mode == i)[..., None], outs[i], out)
+    return jnp.clip(out, 0.0, None)
+
+
 def sample_image_bilinear(img, u, v):
     """img (H,W,3); u,v (N,) in repeat-wrapped uv space. -> (N,3)."""
     h, w = img.shape[0], img.shape[1]
@@ -120,7 +146,9 @@ def apply_textures(scene_arrays, static, row, sp):
 
         for slot, target in slots_color:
             mask = row[slot] == ti
-            row[target] = jnp.where(mask[..., None], val(), row[target])
+            blended = _blend(row[target], val(), row["tex_blend_mode"],
+                             row["tex_colorfac"])
+            row[target] = jnp.where(mask[..., None], blended, row[target])
         for slot, target in slots_scalar:
             mask = row[slot] == ti
             row[target] = jnp.where(mask, luminance(val()), row[target])
