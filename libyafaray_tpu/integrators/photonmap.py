@@ -53,6 +53,27 @@ def _light_cdf(static, arrays):
     return cdf, float(total)
 
 
+def _compact_photons(rec, pad_to: int = 4096):
+    """Host-side compaction of photon records: the shooting buffers carry
+    lanes x bounce-slots entries, mostly invalid; gathering over the full
+    buffer wastes memory and has faulted the TPU runtime at multi-million
+    sizes.  Keeps valid entries (padded to a block multiple)."""
+    rec_np = {k: np.asarray(v) for k, v in rec.items()}
+    valid = rec_np["valid"]
+    idx = np.nonzero(valid)[0]
+    n = len(idx)
+    n_pad = max(pad_to, -(-n // pad_to) * pad_to)
+    out = {}
+    for k, v in rec_np.items():
+        shape = (n_pad,) + v.shape[1:]
+        buf = np.zeros(shape, v.dtype)
+        buf[:n] = v[idx]
+        out[k] = jnp.asarray(buf)
+    out["valid"] = jnp.asarray(
+        np.arange(n_pad) < n)
+    return out
+
+
 def build_caustic_map(cscene, cfg: RenderConfig, arrays):
     """Caustic-only map for the path tracer's caustic_type=photon/both
     (reference createCausticMap shared by directlight & pathtracer).
@@ -65,7 +86,8 @@ def build_caustic_map(cscene, cfg: RenderConfig, arrays):
         np.asarray(cscene.bound_max) - np.asarray(cscene.bound_min)))
     c_radius = cfg.caustic_radius if cfg.caustic_radius > 0 else \
         scene_diag * 0.005
-    lanes = min(MAX_PHOTON_LANES, max(1024, cfg.caustic_photons))
+    lanes = min(MAX_PHOTON_LANES,
+                max(4096, -(-cfg.caustic_photons // 4096) * 4096))
     shoot = jax.jit(make_photon_pass(static, cfg, lanes,
                                      cfg.photon_bounces, "caustic"))
     rec = shoot(arrays, jnp.asarray(cdf), total_flux, jnp.uint32(777))
@@ -74,6 +96,7 @@ def build_caustic_map(cscene, cfg: RenderConfig, arrays):
              n_stored, lanes)
     if n_stored == 0:
         return None
+    rec = _compact_photons(rec)
     bmin = jnp.asarray(cscene.bound_min) - 1e-3
     grid = build_photon_grid(rec["pos"], rec["valid"], c_radius, bmin,
                              dict(dir=rec["dir"], power=rec["power"]))
@@ -97,7 +120,10 @@ def build_photon_maps(cscene, cfg: RenderConfig, arrays):
         scene_diag * 0.005
 
     def shoot_map(n_req, mode, seed0):
-        lanes = min(MAX_PHOTON_LANES, max(1024, n_req))
+        # lane counts rounded to the pallas block quantum (4096): ragged
+        # counts triggered TPU worker faults in the intersection kernels
+        lanes = min(MAX_PHOTON_LANES,
+                    max(4096, -(-n_req // 4096) * 4096))
         n_passes = max(1, int(np.ceil(n_req / lanes)))
         shoot = jax.jit(make_photon_pass(
             static, cfg, lanes, cfg.photon_bounces, mode))
@@ -106,7 +132,7 @@ def build_photon_maps(cscene, cfg: RenderConfig, arrays):
             recs.append(shoot(arrays, cdf_j, total_flux,
                               jnp.uint32(seed0 + p)))
         rec = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *recs)
-        return rec, lanes * n_passes
+        return _compact_photons(rec), lanes * n_passes
 
     t0 = time.perf_counter()
     rec_d, n_em_d = shoot_map(cfg.photons, "diffuse", 1000)
@@ -136,7 +162,18 @@ def build_photon_maps(cscene, cfg: RenderConfig, arrays):
         mats = arrays["materials"]
         qp = diffuse_grid["pos"]
         qn = diffuse_grid["normal"]
-        flux, _ = density_estimate(diffuse_grid, qp, qn, d_radius * 2.0)
+        # chunk the irradiance gather: the photon buffer can exceed 1.5M
+        # positions (lanes x bounce slots) and a single all-at-once gather
+        # over 27 cells exhausts the TPU runtime
+        chunk = 1 << 18
+        nq = qp.shape[0]
+        dens = jax.jit(lambda a, b: density_estimate(
+            diffuse_grid, a, b, d_radius * 2.0))
+        parts = []
+        for c0 in range(0, nq, chunk):
+            f, _ = dens(qp[c0:c0 + chunk], qn[c0:c0 + chunk])
+            parts.append(f)
+        flux = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
         e_irr = flux / (np.pi * (d_radius * 2.0) ** 2) / n_em_d
         rows = gather_rows(mats, diffuse_grid["mat"])
         lo = e_irr * rows["diffuse_color"] * rows["diffuse_reflect"][..., None] * INV_PI
@@ -146,6 +183,14 @@ def build_photon_maps(cscene, cfg: RenderConfig, arrays):
         )
 
     return (diffuse_grid, caustic_grid, radiance_grid, n_em_d, n_em_c)
+
+
+# Largest camera-lane band the photon gathers have proven stable on the
+# TPU runtime: the fused fg-scan + photon-grid gather step faults the TPU
+# worker ("kernel fault") above ~16K lanes, so larger films shade in
+# 16K-lane bands compiled once and looped on the host (PARITY.md known
+# issues).  Pathtracing (no photon gathers) runs fine at 262K lanes.
+LANE_CHUNK = 1 << 14
 
 
 def make_photon_sample_step(cscene, cfg: RenderConfig, grids):
@@ -166,15 +211,14 @@ def make_photon_sample_step(cscene, cfg: RenderConfig, grids):
     c_radius = cfg.caustic_radius if cfg.caustic_radius > 0 else \
         scene_diag * 0.005
 
-    def sample_step(arrays, film, flags):
-        s_idx = film["nsamples"].reshape(-1).astype(jnp.uint32)
-        active = flags.reshape(-1)
+    def shade_lanes(arrays, s_idx, px_c, py_c, pixel_hash, active):
+        n = px_c.shape[0]
         dx = qmc.sample_dim(s_idx, qmc.DIM_PIXEL_X, pixel_hash)
         dy = qmc.sample_dim(s_idx, qmc.DIM_PIXEL_Y, pixel_hash)
         lu = qmc.sample_dim(s_idx, qmc.DIM_LENS_U, pixel_hash)
         lv = qmc.sample_dim(s_idx, qmc.DIM_LENS_V, pixel_hash)
-        org, dirn, wt = shoot_rays(cam, px.astype(jnp.float32) + dx,
-                                   py.astype(jnp.float32) + dy, lu, lv)
+        org, dirn, wt = shoot_rays(cam, px_c.astype(jnp.float32) + dx,
+                                   py_c.astype(jnp.float32) + dy, lu, lv)
 
         L = jnp.zeros((n, 3), jnp.float32)
         throughput = jnp.ones((n, 3), jnp.float32)
@@ -183,7 +227,20 @@ def make_photon_sample_step(cscene, cfg: RenderConfig, grids):
         mats = arrays["materials"]
         nrays = jnp.sum(alive.astype(jnp.float32))
 
-        # follow specular chains up to raydepth; shade at first diffuse hit
+        # Phase 1 — transport: follow specular chains up to raydepth and
+        # STORE the first diffuse hitpoint per lane.  Shading (NEE +
+        # caustic density + final gather) runs ONCE afterwards on the
+        # stored hitpoints — the reference likewise gathers once per path,
+        # and the photon-grid gathers are the expensive part (running them
+        # masked at every bounce cost raydepth x the lookups).
+        hp_p = jnp.zeros((n, 3), jnp.float32)
+        hp_n = jnp.zeros((n, 3), jnp.float32)
+        hp_ng = jnp.zeros((n, 3), jnp.float32)
+        hp_wo = jnp.zeros((n, 3), jnp.float32)
+        hp_tp = jnp.ones((n, 3), jnp.float32)
+        hp_mat = jnp.zeros((n,), jnp.int32)
+        hp_bdim = jnp.zeros((n,), jnp.uint32)
+        hp_skey = jnp.zeros((n,), jnp.uint32)
         for bounce in range(cfg.raydepth + 1):
             hit = _closest_hit(arrays, static, org, dirn,
                                tmin=jnp.full((n,), static.ray_min_dist,
@@ -202,7 +259,6 @@ def make_photon_sample_step(cscene, cfg: RenderConfig, grids):
             backface = vmath.dot(sp["ng"], wo) < 0.0
             n_sh = jnp.where(backface[..., None], -sp["n"], sp["n"])
             ng_sh = jnp.where(backface[..., None], -sp["ng"], sp["ng"])
-            sp_sh = dict(sp, n=n_sh, ng=ng_sh)
 
             mt = row["mtype"]
             is_diffuse = ((mt == MT_SHINYDIFFUSE) | (mt == MT_GLOSSY)
@@ -212,78 +268,15 @@ def make_photon_sample_step(cscene, cfg: RenderConfig, grids):
             bdim = qmc.bounce_dim(bounce, 0)
             skey_b = qmc.hash_combine(pixel_hash, jnp.uint32(bounce))
 
-            # direct light (NEE, full sample counts)
-            Ld, sh_rays = _direct_lighting(
-                arrays, static, cfg, sp_sh, row, wo, ng_sh, s_idx, skey_b,
-                bdim, 1, mis_with_bsdf=False,
-            )
-            L = L + jnp.where(shade_here[..., None], throughput * Ld, 0.0)
-            nrays = nrays + sh_rays * jnp.sum(shade_here.astype(jnp.float32))
-
-            # caustic map density
-            if caustic_grid is not None:
-                cflux, _ = density_estimate(caustic_grid, sp["p"], n_sh,
-                                            c_radius)
-                lc = cflux / (np.pi * c_radius * c_radius) / n_em_c
-                f_c = (row["diffuse_reflect"][..., None]
-                       * row["diffuse_color"] * INV_PI)
-                L = L + jnp.where(shade_here[..., None],
-                                  throughput * f_c * lc, 0.0)
-
-            # indirect: final gather over the radiance map, or direct
-            # global-map density estimate
-            if radiance_grid is not None:
-                # final gather under lax.scan: the body (cosine ray ->
-                # closest hit -> nearest radiance photon) is traced once,
-                # not fg_samples times (keeps the compiled graph small
-                # enough for the TPU compiler)
-                def fg_body(acc, s):
-                    skey_f = qmc.hash_combine(skey_b,
-                                              jnp.uint32(0xF6) + s)
-                    u1 = qmc.sample_dim(s_idx, bdim + qmc.SLOT_BSDF_U,
-                                        skey_f)
-                    u2 = qmc.sample_dim(s_idx, bdim + qmc.SLOT_BSDF_V,
-                                        skey_f)
-                    gd, _ = sample_cos_hemisphere(n_sh, u1, u2)
-                    gorg = sp["p"] + ng_sh * static.shadow_bias
-                    ghit = _closest_hit(arrays, static, gorg, gd,
-                                        tmin=jnp.full(
-                                            (n,), static.ray_min_dist,
-                                            jnp.float32))
-                    gsp = _surface_point(arrays, ghit, gorg, gd)
-                    rad, found = nearest_photon(
-                        radiance_grid, gsp["p"], d_radius * 4.0,
-                        "radiance")
-                    gbg = eval_background(static.bg,
-                                          arrays.get("bg_image"), gd)
-                    li = jnp.where(ghit.hit[..., None],
-                                   jnp.where(found[..., None], rad, 0.0),
-                                   gbg)
-                    return acc + li, None
-
-                ind, _ = jax.lax.scan(
-                    fg_body, jnp.zeros((n, 3), jnp.float32),
-                    jnp.arange(cfg.fg_samples, dtype=jnp.uint32))
-                # cosine sampling of a Lambertian: f·cos/pdf = ρ
-                ind = ind / cfg.fg_samples * row["diffuse_color"] \
-                    * row["diffuse_reflect"][..., None]
-                L = L + jnp.where(shade_here[..., None], throughput * ind,
-                                  0.0)
-                nrays = nrays + cfg.fg_samples * jnp.sum(
-                    shade_here.astype(jnp.float32))
-            elif diffuse_grid is not None:
-                dflux, _ = density_estimate(diffuse_grid, sp["p"], n_sh,
-                                            d_radius)
-                ld = dflux / (np.pi * d_radius * d_radius) / n_em_d
-                f_d = (row["diffuse_reflect"][..., None]
-                       * row["diffuse_color"] * INV_PI)
-                # density estimate includes direct photons: subtract nothing
-                # (reference show-map semantics); direct NEE above is the
-                # unbiased part, so use the map for indirect only via
-                # one-bounce-minimum photons — approximated by full map here
-                L = L + jnp.where(shade_here[..., None],
-                                  throughput * f_d * ld * np.pi, 0.0)
-
+            m3 = shade_here[..., None]
+            hp_p = jnp.where(m3, sp["p"], hp_p)
+            hp_n = jnp.where(m3, n_sh, hp_n)
+            hp_ng = jnp.where(m3, ng_sh, hp_ng)
+            hp_wo = jnp.where(m3, wo, hp_wo)
+            hp_tp = jnp.where(m3, throughput, hp_tp)
+            hp_mat = jnp.where(shade_here, sp["mat"], hp_mat)
+            hp_bdim = jnp.where(shade_here, jnp.uint32(bdim), hp_bdim)
+            hp_skey = jnp.where(shade_here, skey_b, hp_skey)
             done_diffuse = done_diffuse | shade_here
 
             if bounce == cfg.raydepth:
@@ -302,13 +295,120 @@ def make_photon_sample_step(cscene, cfg: RenderConfig, grids):
             dirn = smp["wi"]
             nrays = nrays + jnp.sum(alive.astype(jnp.float32))
 
-        L = L * wt[..., None]
+        # Phase 2 — shade the stored hitpoints once
+        stored = done_diffuse
+        row = gather_rows(mats, hp_mat)
+        sp_sh = dict(p=hp_p, n=hp_n, ng=hp_ng)
+        m3 = stored[..., None]
+
+        # direct light (NEE, full sample counts; per-lane dim base routes
+        # through the traced-dim hash sampler)
+        Ld, sh_rays = _direct_lighting(
+            arrays, static, cfg, sp_sh, row, hp_wo, hp_ng, s_idx, hp_skey,
+            hp_bdim.astype(jnp.int32), 1, mis_with_bsdf=False,
+        )
+        L = L + jnp.where(m3, hp_tp * Ld, 0.0)
+        nrays = nrays + sh_rays * jnp.sum(stored.astype(jnp.float32))
+
+        # caustic map density
+        if caustic_grid is not None:
+            cflux, _ = density_estimate(caustic_grid, hp_p, hp_n, c_radius)
+            lc = cflux / (np.pi * c_radius * c_radius) / n_em_c
+            f_c = (row["diffuse_reflect"][..., None]
+                   * row["diffuse_color"] * INV_PI)
+            L = L + jnp.where(m3, hp_tp * f_c * lc, 0.0)
+
+        # indirect: final gather over the radiance map, or direct
+        # global-map density estimate
+        if radiance_grid is not None:
+            # final gather under lax.scan: the body (cosine ray ->
+            # closest hit -> nearest radiance photon) is traced once,
+            # not fg_samples times (keeps the compiled graph small)
+            def fg_body(acc, s):
+                skey_f = qmc.hash_combine(hp_skey, jnp.uint32(0xF6) + s)
+                u1 = qmc.dynamic_sample_dim(
+                    s_idx, hp_bdim + qmc.SLOT_BSDF_U, skey_f)
+                u2 = qmc.dynamic_sample_dim(
+                    s_idx, hp_bdim + qmc.SLOT_BSDF_V, skey_f)
+                gd, _ = sample_cos_hemisphere(hp_n, u1, u2)
+                gorg = hp_p + hp_ng * static.shadow_bias
+                ghit = _closest_hit(arrays, static, gorg, gd,
+                                    tmin=jnp.full(
+                                        (n,), static.ray_min_dist,
+                                        jnp.float32))
+                gsp = _surface_point(arrays, ghit, gorg, gd)
+                rad, found = nearest_photon(
+                    radiance_grid, gsp["p"], d_radius * 4.0, "radiance")
+                gbg = eval_background(static.bg,
+                                      arrays.get("bg_image"), gd)
+                li = jnp.where(ghit.hit[..., None],
+                               jnp.where(found[..., None], rad, 0.0),
+                               gbg)
+                return acc + li, None
+
+            ind, _ = jax.lax.scan(
+                fg_body, jnp.zeros((n, 3), jnp.float32),
+                jnp.arange(cfg.fg_samples, dtype=jnp.uint32))
+            # cosine sampling of a Lambertian: f·cos/pdf = ρ
+            ind = ind / cfg.fg_samples * row["diffuse_color"] \
+                * row["diffuse_reflect"][..., None]
+            L = L + jnp.where(m3, hp_tp * ind, 0.0)
+            nrays = nrays + cfg.fg_samples * jnp.sum(
+                stored.astype(jnp.float32))
+        elif diffuse_grid is not None:
+            dflux, _ = density_estimate(diffuse_grid, hp_p, hp_n, d_radius)
+            ld = dflux / (np.pi * d_radius * d_radius) / n_em_d
+            f_d = (row["diffuse_reflect"][..., None]
+                   * row["diffuse_color"] * INV_PI)
+            # density estimate includes direct photons: the map is the
+            # full-transport estimate at the hitpoint (reference show-map
+            # semantics); NEE above adds the unbiased direct part
+            L = L + jnp.where(m3, hp_tp * f_d * ld * np.pi, 0.0)
+
+        return L * wt[..., None], dx, dy, nrays
+
+    def splat(film, L, dx, dy, flags, nrays):
         film = film_splat(film, L.reshape(h, w, 3), dx.reshape(h, w),
                           dy.reshape(h, w), flags.astype(jnp.float32),
                           cfg.filter_type, cfg.aa_pixelwidth,
                           clamp_samples=cfg.aa_clamp_samples)
-        film = dict(film, rays=film.get("rays", 0.0) + nrays)
-        return film
+        return dict(film, rays=film.get("rays", 0.0) + nrays)
+
+    if n <= LANE_CHUNK:
+        def sample_step(arrays, film, flags):
+            s_idx = film["nsamples"].reshape(-1).astype(jnp.uint32)
+            L, dx, dy, nrays = shade_lanes(arrays, s_idx, px, py,
+                                           pixel_hash, flags.reshape(-1))
+            return splat(film, L, dx, dy, flags, nrays)
+
+        return jax.jit(sample_step, donate_argnums=(1,))
+
+    # band-chunked path: shade in LANE_CHUNK bands (one compile, host
+    # loop), splat the assembled plane once
+    k = LANE_CHUNK
+    n_pad = -(-n // k) * k
+    pad = n_pad - n
+    px_p = jnp.pad(px, (0, pad))
+    py_p = jnp.pad(py, (0, pad))
+    ph_p = jnp.pad(pixel_hash, (0, pad))
+    shade_j = jax.jit(shade_lanes)
+    splat_j = jax.jit(splat, donate_argnums=(0,))
+
+    def sample_step(arrays, film, flags):
+        s_idx = jnp.pad(film["nsamples"].reshape(-1).astype(jnp.uint32),
+                        (0, pad))
+        active = jnp.pad(flags.reshape(-1), (0, pad))
+        Ls, dxs, dys, nrays = [], [], [], 0.0
+        for c0 in range(0, n_pad, k):
+            Lc, dxc, dyc, nr = shade_j(
+                arrays, s_idx[c0:c0 + k], px_p[c0:c0 + k],
+                py_p[c0:c0 + k], ph_p[c0:c0 + k], active[c0:c0 + k])
+            Ls.append(Lc), dxs.append(dxc), dys.append(dyc)
+            nrays = nrays + nr
+        L = jnp.concatenate(Ls, 0)[:n]
+        dx = jnp.concatenate(dxs, 0)[:n]
+        dy = jnp.concatenate(dys, 0)[:n]
+        return splat_j(film, L, dx, dy, flags, nrays)
 
     return sample_step
 
@@ -319,8 +419,9 @@ def render_photonmap(cscene, cfg: RenderConfig, progress_cb=None):
     arrays = device_put_scene(cscene)
     t0 = _t.perf_counter()
     grids = build_photon_maps(cscene, cfg, arrays)
-    step = make_photon_sample_step(cscene, cfg, grids)
-    step_j = jax.jit(step, donate_argnums=(1,))
+    # make_photon_sample_step returns an already-jitted step (possibly a
+    # host-level band loop — see LANE_CHUNK)
+    step_j = make_photon_sample_step(cscene, cfg, grids)
 
     film = film_init(cfg.height, cfg.width)
     film["rays"] = jnp.zeros((), jnp.float32)

@@ -147,10 +147,12 @@ def flux_update(hitpoints, grid, r2, n_acc, tau, alpha: float):
 
     def acc(carry, ph, w):
         m, flux = carry
-        # photon incoming on the hitpoint's front side
-        side = jnp.sum(ph["dir"] * hitpoints["normal"], axis=-1) > 0.0
+        # photon incoming on the hitpoint's front side; fields are (N, K)
+        side = jnp.sum(ph["dir"] * hitpoints["normal"][:, None, :],
+                       axis=-1) > 0.0
         w = w * side.astype(jnp.float32)
-        return m + w, flux + w[..., None] * ph["power"]
+        return (m + jnp.sum(w, axis=1),
+                flux + jnp.sum(w[..., None] * ph["power"], axis=1))
 
     nq = hitpoints["pos"].shape[0]
     m, flux = gather_photons(
@@ -188,10 +190,27 @@ def render_sppm(cscene, cfg: RenderConfig, progress_cb=None):
     cell = r0  # grid cell >= max radius; radii only shrink
 
     eye = jax.jit(make_eye_pass(cscene, cfg), donate_argnums=(1,))
-    lanes = min(MAX_PHOTON_LANES, max(1024, cfg.sppm_photons))
+    lanes = min(MAX_PHOTON_LANES,
+                max(4096, -(-cfg.sppm_photons // 4096) * 4096))
     shoot = jax.jit(make_photon_pass(static, cfg, lanes,
                                      cfg.photon_bounces, "diffuse"))
-    update_j = jax.jit(flux_update, static_argnames=("alpha",))
+    update_1 = jax.jit(flux_update, static_argnames=("alpha",))
+    from .photonmap import LANE_CHUNK
+
+    if n <= LANE_CHUNK:
+        update_j = update_1
+    else:
+        # photon-grid gathers fault the TPU runtime above ~16K query
+        # lanes (see photonmap.LANE_CHUNK) — run the flux transfer in
+        # bands; each band is an independent per-pixel update
+        def update_j(hp, grid, r2, n_acc, tau, alpha):
+            outs = []
+            for c0 in range(0, n, LANE_CHUNK):
+                sl = slice(c0, min(c0 + LANE_CHUNK, n))
+                hp_c = {kk: v[sl] for kk, v in hp.items()}
+                outs.append(update_1(hp_c, grid, r2[sl], n_acc[sl],
+                                     tau[sl], alpha=alpha))
+            return tuple(jnp.concatenate(xs, 0) for xs in zip(*outs))
 
     film = film_init(h, w)
     film["rays"] = jnp.zeros((), jnp.float32)
@@ -205,6 +224,9 @@ def render_sppm(cscene, cfg: RenderConfig, progress_cb=None):
     for p in range(cfg.sppm_passes):
         film, hitpoints = eye(arrays, film, p)
         rec = shoot(arrays, cdf_j, total_flux, jnp.uint32(31337 + p))
+        from .photonmap import _compact_photons
+
+        rec = _compact_photons(rec)
         grid = build_photon_grid(rec["pos"], rec["valid"], cell, bmin,
                                  dict(dir=rec["dir"], power=rec["power"]))
         r2, n_acc, tau = update_j(hitpoints, grid, r2, n_acc, tau,

@@ -65,6 +65,19 @@ def build_photon_grid(pos, valid, cell_size: float, bmin, extra: dict,
     )
     for k, v in extra.items():
         out[k] = v[order]
+    # Single-gather pack (TPU gathers cost ~1 ms each regardless of width;
+    # per-field per-photon gathers made one lookup ~2 s and tripped the TPU
+    # execution watchdog).  Columns: [hash, valid, pos(3), extra... in
+    # sorted-key order].  Hash values < table_size <= 2^24 are exact in f32,
+    # so the run-membership equality test stays exact.
+    cols = [out["hash_sorted"].astype(jnp.float32)[:, None],
+            out["valid"].astype(jnp.float32)[:, None],
+            out["pos"]]
+    for k in sorted(extra.keys()):
+        v = out[k]
+        cols.append(v[:, None].astype(jnp.float32) if v.ndim == 1
+                    else v.astype(jnp.float32))
+    out["pack"] = jnp.concatenate(cols, axis=1)
     return out
 
 
@@ -79,8 +92,14 @@ def gather_photons(grid: dict, query_p, radius, accumulate_fn, init,
     """Visit photons within `radius` (scalar or (N,) per-query) of each
     query point and fold them with `accumulate_fn`.
 
-    accumulate_fn(carry, photon: dict(pos=..., <extra keys>...), w_mask)
-      -> carry, where w_mask (N,) is 1.0 inside the radius else 0.0.
+    accumulate_fn(carry, photon: dict(pos=..., d2=..., <extra keys>...),
+    w_mask) -> carry, where each photon field is (N, K, ...) — the K =
+    max_per_cell candidates of one neighbor cell — and w_mask (N, K) is
+    1.0 inside the radius else 0.0.  The fold runs once per neighbor cell
+    (27 `lax.scan` steps), each fetching its whole K-photon run with ONE
+    batched gather of the (P, C) pack — per-photon fori-loop gathers cost
+    ~1.3 ms each on TPU (27 x 64 of them = seconds per lookup, long
+    enough that the fused program trips the TPU execution watchdog).
     init: initial carry (pytree of (N, ...) arrays).
     """
     n = query_p.shape[0]
@@ -88,10 +107,19 @@ def gather_photons(grid: dict, query_p, radius, accumulate_fn, init,
     r2 = radius * radius
     qc = _cell_coords(query_p, grid["bmin"], grid["inv_cell"])
     hs = grid["hash_sorted"]
-    extra_keys = [k for k in grid
-                  if k not in ("hash_sorted", "pos", "valid", "bmin",
-                               "inv_cell", "table_size", "cell_size")]
+    extra_keys = sorted(
+        k for k in grid
+        if k not in ("hash_sorted", "pos", "valid", "bmin", "inv_cell",
+                     "table_size", "cell_size", "pack"))
+    # static pack column layout (mirrors build_photon_grid)
+    col = 5
+    layout = {}
+    for k in extra_keys:
+        nc = 1 if grid[k].ndim == 1 else grid[k].shape[1]
+        layout[k] = (col, nc)
+        col += nc
     p_total = hs.shape[0]
+    kk = max_per_cell
 
     offsets = jnp.asarray(_NEIGHBOR_OFFSETS, jnp.int32)  # (27, 3)
 
@@ -99,23 +127,23 @@ def gather_photons(grid: dict, query_p, radius, accumulate_fn, init,
         c = qc + off
         h = _cell_hash(c, grid["table_size"])
         start = jnp.searchsorted(hs, h, side="left").astype(jnp.int32)
-
-        def scan_cell(k, inner):
-            carry = inner
-            idx = jnp.minimum(start + k, p_total - 1)
-            in_run = (start + k < p_total) & (hs[idx] == h)
-            ppos = grid["pos"][idx]
-            d = ppos - query_p
-            d2 = jnp.sum(d * d, axis=-1)
-            w = jnp.where(in_run & grid["valid"][idx] & (d2 <= r2),
-                          1.0, 0.0)
-            photon = {k2: grid[k2][idx] for k2 in extra_keys}
-            photon["pos"] = ppos
-            photon["d2"] = d2
-            return accumulate_fn(carry, photon, w)
-
-        carry = jax.lax.fori_loop(0, max_per_cell, scan_cell, carry)
-        return carry, None
+        idx = start[:, None] + jnp.arange(kk, dtype=jnp.int32)  # (N, K)
+        in_bounds = idx < p_total
+        rows = grid["pack"][jnp.minimum(idx, p_total - 1)]  # (N, K, C)
+        in_run = in_bounds & (rows[..., 0] == h.astype(jnp.float32)[:, None])
+        pvalid = rows[..., 1] > 0.0
+        ppos = rows[..., 2:5]
+        d = ppos - query_p[:, None, :]
+        d2 = jnp.sum(d * d, axis=-1)
+        w = jnp.where(in_run & pvalid & (d2 <= r2[:, None]), 1.0, 0.0)
+        photon = {}
+        for k2 in extra_keys:
+            c0, nc = layout[k2]
+            v = rows[..., c0:c0 + nc]
+            photon[k2] = v[..., 0] if grid[k2].ndim == 1 else v
+        photon["pos"] = ppos
+        photon["d2"] = d2
+        return accumulate_fn(carry, photon, w), None
 
     carry, _ = jax.lax.scan(per_offset, init, offsets)
     return carry
@@ -131,9 +159,10 @@ def density_estimate(grid: dict, query_p, query_n, radius,
     def acc(carry, ph, w):
         flux, cnt = carry
         # front-side check: photon stored with incoming direction `dir`
-        side = jnp.sum(ph["dir"] * query_n, axis=-1) > 0.0
-        w = w * side.astype(jnp.float32)
-        return flux + w[..., None] * ph["power"], cnt + w
+        side = jnp.sum(ph["dir"] * query_n[:, None, :], axis=-1) > 0.0
+        w = w * side.astype(jnp.float32)  # (N, K)
+        return (flux + jnp.sum(w[..., None] * ph["power"], axis=1),
+                cnt + jnp.sum(w, axis=1))
 
     n = query_p.shape[0]
     return gather_photons(
@@ -150,9 +179,15 @@ def nearest_photon(grid: dict, query_p, radius, value_key: str,
 
     def acc(carry, ph, w):
         best_d2, val = carry
-        better = (w > 0.0) & (ph["d2"] < best_d2)
-        best_d2 = jnp.where(better, ph["d2"], best_d2)
-        val = jnp.where(better[..., None], ph[value_key], val)
+        # reduce this cell's K candidates, then fold into the carry
+        d2m = jnp.where(w > 0.0, ph["d2"], jnp.inf)  # (N, K)
+        ksel = jnp.argmin(d2m, axis=1)
+        d2_best = jnp.take_along_axis(d2m, ksel[:, None], 1)[:, 0]
+        v_best = jnp.take_along_axis(ph[value_key], ksel[:, None, None],
+                                     1)[:, 0, :]
+        better = d2_best < best_d2
+        best_d2 = jnp.where(better, d2_best, best_d2)
+        val = jnp.where(better[..., None], v_best, val)
         return best_d2, val
 
     n = query_p.shape[0]
