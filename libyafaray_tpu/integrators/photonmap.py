@@ -144,8 +144,12 @@ def build_photon_maps(cscene, cfg: RenderConfig, arrays):
              time.perf_counter() - t0)
 
     bmin = jnp.asarray(cscene.bound_min) - 1e-3
+    # gather_photons visits the +/-1 cell neighborhood, so every grid's
+    # cell size must be >= the largest radius it is queried with: the
+    # diffuse grid serves both the show-map estimate (d_radius) and the
+    # radiance precompute (2 x d_radius)
     diffuse_grid = build_photon_grid(
-        rec_d["pos"], rec_d["valid"], d_radius, bmin,
+        rec_d["pos"], rec_d["valid"], d_radius * 2.0, bmin,
         dict(dir=rec_d["dir"], power=rec_d["power"], mat=rec_d["mat"],
              normal=rec_d["normal"]),
     )
@@ -162,13 +166,13 @@ def build_photon_maps(cscene, cfg: RenderConfig, arrays):
         mats = arrays["materials"]
         qp = diffuse_grid["pos"]
         qn = diffuse_grid["normal"]
-        # chunk the irradiance gather: the photon buffer can exceed 1.5M
-        # positions (lanes x bounce slots) and a single all-at-once gather
-        # over 27 cells exhausts the TPU runtime
-        chunk = 1 << 18
+        # chunk the irradiance gather (bounded instantaneous gather
+        # output); K=256 because full-count maps put >64 photons in a
+        # 2 x d_radius cell and truncation biases irradiance low
+        chunk = 1 << 16
         nq = qp.shape[0]
         dens = jax.jit(lambda a, b: density_estimate(
-            diffuse_grid, a, b, d_radius * 2.0))
+            diffuse_grid, a, b, d_radius * 2.0, max_per_cell=256))
         parts = []
         for c0 in range(0, nq, chunk):
             f, _ = dens(qp[c0:c0 + chunk], qn[c0:c0 + chunk])
@@ -177,8 +181,10 @@ def build_photon_maps(cscene, cfg: RenderConfig, arrays):
         e_irr = flux / (np.pi * (d_radius * 2.0) ** 2) / n_em_d
         rows = gather_rows(mats, diffuse_grid["mat"])
         lo = e_irr * rows["diffuse_color"] * rows["diffuse_reflect"][..., None] * INV_PI
+        # cell size = the fg lookup radius (4 x d_radius) so the +/-1
+        # neighborhood covers the query ball
         radiance_grid = build_photon_grid(
-            qp, diffuse_grid["valid"], d_radius * 2.0, bmin,
+            qp, diffuse_grid["valid"], d_radius * 4.0, bmin,
             dict(radiance=lo, normal=qn),
         )
 

@@ -92,6 +92,10 @@ def gather_photons(grid: dict, query_p, radius, accumulate_fn, init,
     """Visit photons within `radius` (scalar or (N,) per-query) of each
     query point and fold them with `accumulate_fn`.
 
+    CONTRACT: radius <= grid cell_size — only the +/-1 cell neighborhood
+    (27 cells) is visited, so larger query radii silently miss photons.
+    Build the grid with cell_size = the largest radius it will serve.
+
     accumulate_fn(carry, photon: dict(pos=..., d2=..., <extra keys>...),
     w_mask) -> carry, where each photon field is (N, K, ...) — the K =
     max_per_cell candidates of one neighbor cell — and w_mask (N, K) is
