@@ -111,16 +111,84 @@ def _mapped_coords(static, ti: int, sp):
     return u, v, p3
 
 
+def apply_color_ramp(val, ramp):
+    """Map texture intensity through a colorband (reference
+    color_ramp.h colorRamp_t::getColorInterpolated): stops are
+    (position, r, g, b), STATIC per texture; linear or constant
+    interpolation, clamped at the ends."""
+    mode, items = ramp
+    if len(items) == 1:
+        c = jnp.asarray(items[0][1:4], jnp.float32)
+        return jnp.broadcast_to(c, val.shape)
+    inten = luminance(val)
+    pos = jnp.asarray([it[0] for it in items], jnp.float32)
+    cols = jnp.asarray([it[1:4] for it in items], jnp.float32)
+    idx = jnp.clip(jnp.searchsorted(pos, inten, side="right") - 1,
+                   0, len(items) - 2)
+    p0 = pos[idx]
+    p1 = pos[idx + 1]
+    t = jnp.clip((inten - p0) / jnp.maximum(p1 - p0, 1e-9), 0.0, 1.0)
+    if mode.startswith("constant"):
+        t = jnp.zeros_like(t)
+    out = cols[idx] * (1.0 - t[..., None]) + cols[idx + 1] * t[..., None]
+    out = jnp.where((inten <= pos[0])[..., None], cols[0], out)
+    out = jnp.where((inten >= pos[-1])[..., None], cols[-1], out)
+    return out
+
+
+def _sample_image_windowed(img, u, v, win):
+    """Image sampling with the imagetex.cc uv window: rot90,
+    xrepeat/yrepeat tiling, clipping mode, crop remap.  Outside-window
+    lanes return black for clip/clipcube and for skipped checker tiles."""
+    if win is None:
+        return sample_image_bilinear(img, u, v)
+    xrep, yrep, crop, clip, rot90, even_tiles, odd_tiles = win
+    if rot90:
+        u, v = v, u
+    u = u * xrep
+    v = v * yrep
+    inside = None
+    if clip in ("clip", "clipcube"):
+        inside = ((u >= 0.0) & (u < 1.0) & (v >= 0.0) & (v < 1.0))
+        u = jnp.clip(u, 0.0, 1.0)
+        v = jnp.clip(v, 0.0, 1.0)
+    elif clip == "extend":
+        u = jnp.clip(u, 0.0, 1.0 - 1e-6)
+        v = jnp.clip(v, 0.0, 1.0 - 1e-6)
+    elif clip == "checker":
+        tile_odd = ((jnp.floor(u) + jnp.floor(v)).astype(jnp.int32) & 1) \
+            == 1
+        show = jnp.where(tile_odd, odd_tiles, even_tiles)
+        inside = show
+    # repeat (default): wrap handled by sample_image_bilinear
+    u = u % 1.0
+    v = v % 1.0
+    if crop is not None:
+        cx0, cy0, cx1, cy1 = crop
+        u = cx0 + u * (cx1 - cx0)
+        v = cy0 + v * (cy1 - cy0)
+    out = sample_image_bilinear(img, u, v)
+    if inside is not None:
+        out = out * inside[..., None].astype(jnp.float32)
+    return out
+
+
 def sample_texture(scene_arrays, static, ti: int, sp):
     """Evaluate texture `ti` (static) at the surface points. -> (N,3)."""
     spec = static.textures[ti]
     u, v, p3 = _mapped_coords(static, ti, sp)
+    ramp = spec[2] if len(spec) > 2 else None
     if spec[0] == "image":
         img = scene_arrays[f"tex_{ti}"]
-        return sample_image_bilinear(img, u, v)
-    from .procedural import eval_procedural
+        win = spec[1] if len(spec) > 1 else None
+        out = _sample_image_windowed(img, u, v, win)
+    else:
+        from .procedural import eval_procedural
 
-    return eval_procedural(spec, p3, jnp.stack([u, v], axis=-1))
+        out = eval_procedural(spec, p3, jnp.stack([u, v], axis=-1))
+    if ramp is not None:
+        out = apply_color_ramp(out, ramp)
+    return out
 
 
 def apply_textures(scene_arrays, static, row, sp):

@@ -115,3 +115,90 @@ def test_textured_material_renders():
     left = img[8:24, 2:8].mean()
     right = img[8:24, 24:30].mean()
     assert abs(right - left) > 0.05, (left, right)
+
+
+def test_color_ramp_linear_and_constant():
+    """Colorband maps texture intensity to interpolated stop colors
+    (reference color_ramp.h getColorInterpolated)."""
+    from libyafaray_tpu.textures.eval import apply_color_ramp
+
+    ramp = ("linear", ((0.0, 1.0, 0.0, 0.0), (1.0, 0.0, 0.0, 1.0)))
+    val = jnp.stack([jnp.asarray([0.0, 0.5, 1.0])] * 3, axis=-1)
+    out = np.asarray(apply_color_ramp(val, ramp))
+    assert np.allclose(out[0], [1, 0, 0], atol=1e-5)   # at stop 0
+    assert np.allclose(out[1], [0.5, 0, 0.5], atol=1e-5)  # midpoint
+    assert np.allclose(out[2], [0, 0, 1], atol=1e-5)   # at stop 1
+    outc = np.asarray(apply_color_ramp(
+        val, ("constant", ramp[1])))
+    assert np.allclose(outc[1], [1, 0, 0], atol=1e-5)  # holds left stop
+    # out-of-range clamps to end stops
+    val2 = jnp.full((2, 3), 5.0)
+    out2 = np.asarray(apply_color_ramp(val2, ramp))
+    assert np.allclose(out2, [[0, 0, 1]] * 2, atol=1e-5)
+
+
+def test_image_window_crop_clip_checker():
+    """imagetex.cc uv window: repeat tiling, crop remap, clip-to-black,
+    checker tiles."""
+    from libyafaray_tpu.textures.eval import _sample_image_windowed
+
+    img = jnp.asarray(np.array([[[0, 0, 0], [1, 1, 1]],
+                                [[0, 0, 0], [1, 1, 1]]], np.float32))
+    u = jnp.asarray([0.25, 0.75])
+    v = jnp.asarray([0.5, 0.5])
+    # crop to the right half -> everything samples the bright texel
+    win = (1, 1, (0.5, 0.0, 1.0, 1.0), "repeat", False, True, False)
+    c = np.asarray(_sample_image_windowed(img, u, v, win))
+    assert (c[:, 0] > 0.45).all(), c
+    # clip: outside [0,1) -> black
+    win = (1, 1, None, "clip", False, True, False)
+    c = np.asarray(_sample_image_windowed(
+        img, jnp.asarray([-0.5, 0.75]), v, win))
+    assert np.allclose(c[0], 0.0) and c[1, 0] > 0.9
+    # checker with xrepeat=2: even tile shows, odd tile black
+    win = (2, 1, None, "checker", False, True, False)
+    c = np.asarray(_sample_image_windowed(
+        img, jnp.asarray([0.3, 0.8]), jnp.asarray([0.4, 0.4]), win))
+    assert c[0].max() >= 0.0 and np.allclose(c[1], 0.0), c
+
+
+def test_ramp_through_scene_compile():
+    """use_color_ramp on a texture flows through Scene.compile into the
+    static spec and renders finite."""
+    s = Scene()
+    s.create_texture("t", ParamMap({
+        "type": "clouds", "size": 2.0, "use_color_ramp": True,
+        "ramp_num_items": 2, "ramp_interpolation": "linear",
+        "ramp_item_0_color": (1.0, 0.0, 0.0, 1.0),
+        "ramp_item_0_position": 0.0,
+        "ramp_item_1_color": (0.0, 0.0, 1.0, 1.0),
+        "ramp_item_1_position": 1.0,
+    }))
+    node = ParamMap({
+        "element": "shader_node", "name": "map", "type": "texture_mapper",
+        "texture": "t", "texco": "global", "mapping": "plain",
+    })
+    s.create_material("m", ParamMap({
+        "type": "shinydiffusemat", "color": (0.5, 0.5, 0.5),
+        "diffuse_shader": "map", "__list__": [node],
+    }))
+    s.create_background("bg", ParamMap({"type": "constant",
+                                        "color": (1.0, 1.0, 1.0),
+                                        "ibl": True, "ibl_samples": 2}))
+    s.add_sphere((0.0, 0.0, 0.0), 1.0, "m")
+    s.create_camera("cam", ParamMap({
+        "type": "perspective", "resx": 12, "resy": 12,
+        "from": (0.0, -4.0, 0.0), "to": (0.0, 0.0, 0.0),
+        "up": (0.0, -4.0, 1.0), "focal": 1.8}))
+    s.create_integrator("default", ParamMap({
+        "type": "directlighting", "raydepth": 2}))
+    s.render_params = ParamMap({
+        "width": 12, "height": 12, "AA_minsamples": 4,
+        "integrator_name": "default", "camera_name": "cam"})
+    from libyafaray_tpu.scene.session import render_scene
+    res = render_scene(s)
+    img = res.image
+    assert np.isfinite(img).all()
+    # ramp output is red<->blue: green stays below red/blue on the sphere
+    center = img[4:8, 4:8]
+    assert center.mean() > 0.01
