@@ -166,6 +166,19 @@ def build_photon_maps(cscene, cfg: RenderConfig, arrays):
         mats = arrays["materials"]
         qp = diffuse_grid["pos"]
         qn = diffuse_grid["normal"]
+        # Radiance map on a photon SUBSET (Christensen, "Faster Photon Map
+        # Global Illumination", JGT 2000 precomputes radiance at ~1/4 of
+        # photons; the reference precomputes at all).  Here the stride also
+        # keeps the radiance grid's gather pack small enough to stay
+        # VMEM-resident during render-time nearest-photon lookups —
+        # measured ~0.1 ms per 16K-lane lookup for a <=2^17-entry map vs
+        # ~270 ms once the pack spills to HBM.
+        stride = max(1, -(-qp.shape[0] // (1 << 17)))
+        if stride > 1:
+            qp = qp[::stride]
+            qn = qn[::stride]
+        rad_valid = diffuse_grid["valid"][::stride]
+        rad_mat = diffuse_grid["mat"][::stride]
         # chunk the irradiance gather (bounded instantaneous gather
         # output); K=256 because full-count maps put >64 photons in a
         # 2 x d_radius cell and truncation biases irradiance low
@@ -179,12 +192,12 @@ def build_photon_maps(cscene, cfg: RenderConfig, arrays):
             parts.append(f)
         flux = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
         e_irr = flux / (np.pi * (d_radius * 2.0) ** 2) / n_em_d
-        rows = gather_rows(mats, diffuse_grid["mat"])
+        rows = gather_rows(mats, rad_mat)
         lo = e_irr * rows["diffuse_color"] * rows["diffuse_reflect"][..., None] * INV_PI
         # cell size = the fg lookup radius (4 x d_radius) so the +/-1
         # neighborhood covers the query ball
         radiance_grid = build_photon_grid(
-            qp, diffuse_grid["valid"], d_radius * 4.0, bmin,
+            qp, rad_valid, d_radius * 4.0, bmin,
             dict(radiance=lo, normal=qn),
         )
 
