@@ -350,8 +350,19 @@ def make_sample_step(static, camera, cfg: RenderConfig,
         cos_l = jnp.abs(vmath.dot(sp["ng"], wo))
         pdf_light_hit = (hit.t * hit.t) / jnp.maximum(
             area_l * jnp.maximum(cos_l, 1e-6), 1e-9)
+        # MIS only against lights that _direct_lighting actually samples:
+        # a light with NEE disabled (not enabled / photon_only) has no
+        # light-sampling counterpart, so down-weighting its BSDF-strategy
+        # emission hit would lose that light's energy
+        if len(static.lights):
+            nee_flags = jnp.asarray(
+                [1.0 if (ls.enabled and not ls.photon_only) else 0.0
+                 for ls in static.lights], jnp.float32)
+            nee_on = nee_flags[jnp.maximum(li_id, 0)] > 0.5
+        else:
+            nee_on = jnp.zeros((n,), jnp.bool_)
         mis_w = jnp.where(
-            is_light_tri & ~spec_mask,
+            is_light_tri & ~spec_mask & nee_on,
             power_heuristic(prev_pdf, pdf_light_hit),
             1.0,
         )

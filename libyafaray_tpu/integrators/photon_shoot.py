@@ -84,11 +84,11 @@ def _emit_one_light(ls, lrow, n, u):
                      0.0, 1.0)
         fall = t * t * (3.0 - 2.0 * t)
         org = jnp.broadcast_to(lrow["p0"], (n, 3))
+        # unbiased estimator for cone pdf 1/Omega: weight = I*Omega*fall;
+        # E[weight] = I*2pi(1-(cos_start+cos_end)/2) = the CDF flux
+        # (smoothstep integrates to 1/2 over the blend band)
         omega = 2.0 * PI * (1.0 - lrow["cos_end"])
-        flux = lrow["intensity"][None, :] * omega * fall[..., None] \
-            / jnp.maximum(
-                (1.0 - 0.5 * (lrow["cos_start"] + lrow["cos_end"]))
-                / jnp.maximum(1.0 - lrow["cos_end"], 1e-6), 1e-6)
+        flux = lrow["intensity"][None, :] * omega * fall[..., None]
         return org, d, flux
     if ls.ltype == lightmod.LT_SPHERE:
         dn = sample_sphere(u["u1"], u["u2"])
@@ -108,7 +108,11 @@ def make_photon_pass(static, cfg, n_lanes: int, max_bounces: int,
     toward the surface it came FROM — reference stores -ray.dir), power,
     mat, normal, valid.
     mode: 'diffuse' stores every diffuse hit; 'caustic' stores diffuse hits
-    reached through a specular-only chain with >=1 specular bounce."""
+    reached through a specular-only chain with >=1 specular bounce;
+    'indirect' stores diffuse hits at bounce >= 1 only (excludes photons
+    arriving straight from the light — for integrators whose eye pass adds
+    NEE direct light at the hitpoint, e.g. SPPM, which would otherwise
+    double-count direct illumination)."""
     n = n_lanes
     lane_ids = jnp.arange(n, dtype=jnp.uint32)
 
@@ -178,6 +182,8 @@ def make_photon_pass(static, cfg, n_lanes: int, max_bounces: int,
             ) & (row["diffuse_reflect"] > 1e-5)
             if mode == "caustic":
                 store = alive & diffuse_surf & had_spec & spec_only
+            elif mode == "indirect" and bounce == 0:
+                store = jnp.zeros_like(alive)
             else:
                 store = alive & diffuse_surf
             rec_pos = rec_pos.at[bounce].set(sp["p"])

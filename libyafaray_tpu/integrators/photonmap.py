@@ -320,17 +320,25 @@ def make_photon_sample_step(cscene, cfg: RenderConfig, grids):
         sp_sh = dict(p=hp_p, n=hp_n, ng=hp_ng)
         m3 = stored[..., None]
 
-        # direct light (NEE, full sample counts; per-lane dim base routes
-        # through the traced-dim hash sampler)
-        Ld, sh_rays = _direct_lighting(
-            arrays, static, cfg, sp_sh, row, hp_wo, hp_ng, s_idx, hp_skey,
-            hp_bdim.astype(jnp.int32), 1, mis_with_bsdf=False,
-        )
-        L = L + jnp.where(m3, hp_tp * Ld, 0.0)
-        nrays = nrays + sh_rays * jnp.sum(stored.astype(jnp.float32))
+        # show-map mode (finalGather off): the diffuse map stores every
+        # diffuse hit INCLUDING bounce-0 direct photons, so its density
+        # estimate is already the full-transport radiance at the hitpoint
+        # (reference show_map debug semantics) — adding NEE or the caustic
+        # map on top would double-count direct/caustic light.
+        show_map = radiance_grid is None and diffuse_grid is not None
+
+        if not show_map:
+            # direct light (NEE, full sample counts; per-lane dim base
+            # routes through the traced-dim hash sampler)
+            Ld, sh_rays = _direct_lighting(
+                arrays, static, cfg, sp_sh, row, hp_wo, hp_ng, s_idx,
+                hp_skey, hp_bdim.astype(jnp.int32), 1, mis_with_bsdf=False,
+            )
+            L = L + jnp.where(m3, hp_tp * Ld, 0.0)
+            nrays = nrays + sh_rays * jnp.sum(stored.astype(jnp.float32))
 
         # caustic map density
-        if caustic_grid is not None:
+        if caustic_grid is not None and not show_map:
             cflux, _ = density_estimate(caustic_grid, hp_p, hp_n, c_radius)
             lc = cflux / (np.pi * c_radius * c_radius) / n_em_c
             f_c = (row["diffuse_reflect"][..., None]
@@ -379,10 +387,9 @@ def make_photon_sample_step(cscene, cfg: RenderConfig, grids):
             ld = dflux / (np.pi * d_radius * d_radius) / n_em_d
             f_d = (row["diffuse_reflect"][..., None]
                    * row["diffuse_color"] * INV_PI)
-            # density estimate includes direct photons: the map is the
-            # full-transport estimate at the hitpoint (reference show-map
-            # semantics); NEE above adds the unbiased direct part
-            L = L + jnp.where(m3, hp_tp * f_d * ld * np.pi, 0.0)
+            # L = f · Σflux / (π r²) — same convention as the caustic
+            # estimate and the radiance-map precompute
+            L = L + jnp.where(m3, hp_tp * f_d * ld, 0.0)
 
         return L * wt[..., None], dx, dy, nrays
 

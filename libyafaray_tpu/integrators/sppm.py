@@ -192,8 +192,11 @@ def render_sppm(cscene, cfg: RenderConfig, progress_cb=None):
     eye = jax.jit(make_eye_pass(cscene, cfg), donate_argnums=(1,))
     lanes = min(MAX_PHOTON_LANES,
                 max(4096, -(-cfg.sppm_photons // 4096) * 4096))
+    # 'indirect' mode: the eye pass already adds NEE direct light at every
+    # stored hitpoint, so bounce-0 photons (arriving straight from the
+    # light) must NOT enter the SPPM map or direct light is counted twice
     shoot = jax.jit(make_photon_pass(static, cfg, lanes,
-                                     cfg.photon_bounces, "diffuse"))
+                                     cfg.photon_bounces, "indirect"))
     update_1 = jax.jit(flux_update, static_argnames=("alpha",))
     from .photonmap import LANE_CHUNK
 

@@ -137,9 +137,17 @@ def gather_photons(grid: dict, query_p, radius, accumulate_fn, init,
         in_run = in_bounds & (rows[..., 0] == h.astype(jnp.float32)[:, None])
         pvalid = rows[..., 1] > 0.0
         ppos = rows[..., 2:5]
+        # exact cell membership: when two of the 27 neighbor offsets hash
+        # to the SAME bucket, the same sorted run is scanned twice — the
+        # coordinate test (recomputed from photon pos exactly as at build)
+        # keeps each photon counted once, for the one offset whose cell it
+        # actually lies in (hash equality alone double-counts its flux)
+        pcell = _cell_coords(ppos, grid["bmin"], grid["inv_cell"])
+        in_cell = jnp.all(pcell == c[:, None, :], axis=-1)
         d = ppos - query_p[:, None, :]
         d2 = jnp.sum(d * d, axis=-1)
-        w = jnp.where(in_run & pvalid & (d2 <= r2[:, None]), 1.0, 0.0)
+        w = jnp.where(in_run & in_cell & pvalid & (d2 <= r2[:, None]),
+                      1.0, 0.0)
         photon = {}
         for k2 in extra_keys:
             c0, nc = layout[k2]
