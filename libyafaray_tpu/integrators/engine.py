@@ -251,9 +251,11 @@ def make_sample_step(static, camera, cfg: RenderConfig,
 
     mode: "path" (pathtracing) or "direct" (directlighting: continuation
     only through specular/dispersive chains, depth = raydepth).
-    caustic: optional (grid, radius, n_emitted) caustic photon map — adds
-    the reference's caustic_type photon/both term (photonintegr-style
-    density estimate at the first diffuse vertex).
+    caustic: optional (radius, n_emitted) caustic-map statics — adds the
+    reference's caustic_type photon/both term (photonintegr-style density
+    estimate at the first diffuse vertex).  The photon pack itself rides
+    in scene_arrays["pm_caustic"] (a jit argument — closing over it bakes
+    it into the HLO, see ops/photon_flash).
     """
     mode = mode or ("path" if cfg.integrator == "pathtracing" else "direct")
     h, w = cfg.height, cfg.width
@@ -408,10 +410,11 @@ def make_sample_step(static, camera, cfg: RenderConfig,
             from ..core.sampling import INV_PI as _INV_PI
             from ..materials.base import MT_COATED_GLOSSY as _MTC, \
                 MT_GLOSSY as _MTG, MT_SHINYDIFFUSE as _MTS
-            from ..ops.photon_grid import density_estimate as _dens
+            from ..ops.photon_flash import density_flash as _dens
 
-            c_grid, c_radius, c_nem = caustic
-            cflux, _ = _dens(c_grid, sp["p"], n_sh, c_radius)
+            c_radius, c_nem = caustic
+            cflux, _ = _dens(scene_arrays["pm_caustic"], sp["p"], n_sh,
+                             c_radius)
             lc = cflux / (_np.pi * c_radius * c_radius) / c_nem
             f_c = (row["diffuse_reflect"][..., None]
                    * row["diffuse_color"] * _INV_PI)

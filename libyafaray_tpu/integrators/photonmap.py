@@ -3,9 +3,9 @@ SURVEY §2.10/§3.4): global (diffuse) + caustic photon maps, k-NN-radius
 density estimation, optional final gather over a precomputed radiance map.
 
 TPU mapping:
-  preprocess  = wavefront photon passes (photon_shoot) + hash-grid sorts +
-                a radiance-map pass (irradiance gather at every stored
-                diffuse photon, batched)
+  preprocess  = wavefront photon passes (photon_shoot) + flash photon
+                packs (ops/photon_flash) + a radiance-map pass (irradiance
+                density at stored diffuse photons, batched)
   render      = the shared wavefront engine for primary/specular transport
                 and NEE direct light, plus per-hit batched gathers:
                 caustic map density at the first diffuse hit, and either
@@ -28,8 +28,8 @@ from ..film.imagefilm import film_init, film_splat
 from ..materials import bsdf
 from ..materials.base import MT_COATED_GLOSSY, MT_GLOSSY, MT_SHINYDIFFUSE, \
     gather_rows
-from ..ops.photon_grid import build_photon_grid, density_estimate, \
-    nearest_photon
+from ..ops.photon_flash import make_photon_pack, density_flash, \
+    nearest_flash
 from .config import RenderConfig
 from .engine import _closest_hit, _surface_point, _direct_lighting, \
     make_sample_step
@@ -77,7 +77,7 @@ def _compact_photons(rec, pad_to: int = 4096):
 def build_caustic_map(cscene, cfg: RenderConfig, arrays):
     """Caustic-only map for the path tracer's caustic_type=photon/both
     (reference createCausticMap shared by directlight & pathtracer).
-    Returns (grid, radius, n_emitted) or None."""
+    Returns (pack, radius, n_emitted) or None."""
     static = cscene.static
     cdf, total_flux = _light_cdf(static, arrays)
     if total_flux <= 0:
@@ -97,15 +97,14 @@ def build_caustic_map(cscene, cfg: RenderConfig, arrays):
     if n_stored == 0:
         return None
     rec = _compact_photons(rec)
-    bmin = jnp.asarray(cscene.bound_min) - 1e-3
-    grid = build_photon_grid(rec["pos"], rec["valid"], c_radius, bmin,
-                             dict(dir=rec["dir"], power=rec["power"]))
-    return grid, c_radius, lanes
+    pack = make_photon_pack(rec["pos"], rec["valid"], rec["dir"],
+                            rec["power"])
+    return pack, c_radius, lanes
 
 
 def build_photon_maps(cscene, cfg: RenderConfig, arrays):
-    """Shoot diffuse + caustic maps; returns (diffuse_grid, caustic_grid,
-    radiance_grid, n_diffuse_emitted, n_caustic_emitted)."""
+    """Shoot diffuse + caustic maps; returns (diffuse_pack, caustic_pack,
+    radiance_pack, n_diffuse_emitted, n_caustic_emitted)."""
     static = cscene.static
     cdf, total_flux = _light_cdf(static, arrays)
     cdf_j = jnp.asarray(cdf)
@@ -143,65 +142,45 @@ def build_photon_maps(cscene, cfg: RenderConfig, arrays):
              int(jnp.sum(rec_c["valid"])), n_em_c,
              time.perf_counter() - t0)
 
-    bmin = jnp.asarray(cscene.bound_min) - 1e-3
-    # gather_photons visits the +/-1 cell neighborhood, so every grid's
-    # cell size must be >= the largest radius it is queried with: the
-    # diffuse grid serves both the show-map estimate (d_radius) and the
-    # radiance precompute (2 x d_radius)
-    diffuse_grid = build_photon_grid(
-        rec_d["pos"], rec_d["valid"], d_radius * 2.0, bmin,
-        dict(dir=rec_d["dir"], power=rec_d["power"], mat=rec_d["mat"],
-             normal=rec_d["normal"]),
-    )
-    caustic_grid = build_photon_grid(
-        rec_c["pos"], rec_c["valid"], c_radius, bmin,
-        dict(dir=rec_c["dir"], power=rec_c["power"]),
-    )
+    diffuse_pack = make_photon_pack(rec_d["pos"], rec_d["valid"],
+                                    rec_d["dir"], rec_d["power"])
+    caustic_pack = make_photon_pack(rec_c["pos"], rec_c["valid"],
+                                    rec_c["dir"], rec_c["power"])
 
-    radiance_grid = None
+    radiance_pack = None
     if cfg.final_gather:
         # radiance map: outgoing radiance at every stored diffuse photon,
         # assuming Lambertian exitance: Lo = E·ρ/π with E from the density
         # estimate (reference radianceMap precompute, threaded → batched)
         mats = arrays["materials"]
-        qp = diffuse_grid["pos"]
-        qn = diffuse_grid["normal"]
+        qp = rec_d["pos"]
+        qn = rec_d["normal"]
         # Radiance map on a photon SUBSET (Christensen, "Faster Photon Map
         # Global Illumination", JGT 2000 precomputes radiance at ~1/4 of
-        # photons; the reference precomputes at all).  Here the stride also
-        # keeps the radiance grid's gather pack small enough to stay
-        # VMEM-resident during render-time nearest-photon lookups —
-        # measured ~0.1 ms per 16K-lane lookup for a <=2^17-entry map vs
-        # ~270 ms once the pack spills to HBM.
-        stride = max(1, -(-qp.shape[0] // (1 << 17)))
+        # photons; the reference precomputes at all).  The flash nearest
+        # lookup is brute-force over the map, so render-time cost is
+        # linear in the subset size.
+        stride = max(1, -(-qp.shape[0] // (1 << 16)))
         if stride > 1:
             qp = qp[::stride]
             qn = qn[::stride]
-        rad_valid = diffuse_grid["valid"][::stride]
-        rad_mat = diffuse_grid["mat"][::stride]
-        # chunk the irradiance gather (bounded instantaneous gather
-        # output); K=256 because full-count maps put >64 photons in a
-        # 2 x d_radius cell and truncation biases irradiance low
+        rad_valid = rec_d["valid"][::stride]
+        rad_mat = rec_d["mat"][::stride]
         chunk = 1 << 16
         nq = qp.shape[0]
-        dens = jax.jit(lambda a, b: density_estimate(
-            diffuse_grid, a, b, d_radius * 2.0, max_per_cell=256))
+        dens = jax.jit(lambda pk, a, b: density_flash(
+            pk, a, b, d_radius * 2.0))
         parts = []
         for c0 in range(0, nq, chunk):
-            f, _ = dens(qp[c0:c0 + chunk], qn[c0:c0 + chunk])
+            f, _ = dens(diffuse_pack, qp[c0:c0 + chunk], qn[c0:c0 + chunk])
             parts.append(f)
         flux = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
         e_irr = flux / (np.pi * (d_radius * 2.0) ** 2) / n_em_d
         rows = gather_rows(mats, rad_mat)
         lo = e_irr * rows["diffuse_color"] * rows["diffuse_reflect"][..., None] * INV_PI
-        # cell size = the fg lookup radius (4 x d_radius) so the +/-1
-        # neighborhood covers the query ball
-        radiance_grid = build_photon_grid(
-            qp, rad_valid, d_radius * 4.0, bmin,
-            dict(radiance=lo, normal=qn),
-        )
+        radiance_pack = make_photon_pack(qp, rad_valid, qn, lo)
 
-    return (diffuse_grid, caustic_grid, radiance_grid, n_em_d, n_em_c)
+    return (diffuse_pack, caustic_pack, radiance_pack, n_em_d, n_em_c)
 
 
 # Largest camera-lane band the photon gathers have proven stable on the
@@ -214,8 +193,16 @@ LANE_CHUNK = 1 << 14
 
 def make_photon_sample_step(cscene, cfg: RenderConfig, grids):
     """One-sample-per-pixel step: engine-style primary/specular transport,
-    then photon-based indirect at the first diffuse hit."""
-    diffuse_grid, caustic_grid, radiance_grid, n_em_d, n_em_c = grids
+    then photon-based indirect at the first diffuse hit.
+
+    The photon packs ride inside the `arrays` jit argument (keys
+    pm_diffuse/pm_caustic/pm_radiance, installed by render_photonmap) —
+    closing over them would bake them into the HLO as literals and blow
+    up Mosaic compile time (see ops/photon_flash)."""
+    diffuse_pack, caustic_pack, radiance_pack, n_em_d, n_em_c = grids
+    has_diffuse = diffuse_pack is not None
+    has_caustic = caustic_pack is not None
+    has_radiance = radiance_pack is not None
     static = cscene.static
     cam = cscene.camera
     h, w = cfg.height, cfg.width
@@ -325,7 +312,7 @@ def make_photon_sample_step(cscene, cfg: RenderConfig, grids):
         # estimate is already the full-transport radiance at the hitpoint
         # (reference show_map debug semantics) — adding NEE or the caustic
         # map on top would double-count direct/caustic light.
-        show_map = radiance_grid is None and diffuse_grid is not None
+        show_map = not has_radiance and has_diffuse
 
         if not show_map:
             # direct light (NEE, full sample counts; per-lane dim base
@@ -338,8 +325,9 @@ def make_photon_sample_step(cscene, cfg: RenderConfig, grids):
             nrays = nrays + sh_rays * jnp.sum(stored.astype(jnp.float32))
 
         # caustic map density
-        if caustic_grid is not None and not show_map:
-            cflux, _ = density_estimate(caustic_grid, hp_p, hp_n, c_radius)
+        if has_caustic and not show_map:
+            cflux, _ = density_flash(arrays["pm_caustic"], hp_p, hp_n,
+                                     c_radius)
             lc = cflux / (np.pi * c_radius * c_radius) / n_em_c
             f_c = (row["diffuse_reflect"][..., None]
                    * row["diffuse_color"] * INV_PI)
@@ -347,7 +335,7 @@ def make_photon_sample_step(cscene, cfg: RenderConfig, grids):
 
         # indirect: final gather over the radiance map, or direct
         # global-map density estimate
-        if radiance_grid is not None:
+        if has_radiance:
             # final gather under lax.scan: the body (cosine ray ->
             # closest hit -> nearest radiance photon) is traced once,
             # not fg_samples times (keeps the compiled graph small)
@@ -364,8 +352,8 @@ def make_photon_sample_step(cscene, cfg: RenderConfig, grids):
                                         (n,), static.ray_min_dist,
                                         jnp.float32))
                 gsp = _surface_point(arrays, ghit, gorg, gd)
-                rad, found = nearest_photon(
-                    radiance_grid, gsp["p"], d_radius * 4.0, "radiance")
+                rad, found = nearest_flash(
+                    arrays["pm_radiance"], gsp["p"], d_radius * 4.0)
                 gbg = eval_background(static.bg,
                                       arrays.get("bg_image"), gd)
                 li = jnp.where(ghit.hit[..., None],
@@ -382,8 +370,9 @@ def make_photon_sample_step(cscene, cfg: RenderConfig, grids):
             L = L + jnp.where(m3, hp_tp * ind, 0.0)
             nrays = nrays + cfg.fg_samples * jnp.sum(
                 stored.astype(jnp.float32))
-        elif diffuse_grid is not None:
-            dflux, _ = density_estimate(diffuse_grid, hp_p, hp_n, d_radius)
+        elif has_diffuse:
+            dflux, _ = density_flash(arrays["pm_diffuse"], hp_p, hp_n,
+                                     d_radius)
             ld = dflux / (np.pi * d_radius * d_radius) / n_em_d
             f_d = (row["diffuse_reflect"][..., None]
                    * row["diffuse_color"] * INV_PI)
@@ -445,6 +434,14 @@ def render_photonmap(cscene, cfg: RenderConfig, progress_cb=None):
     arrays = device_put_scene(cscene)
     t0 = _t.perf_counter()
     grids = build_photon_maps(cscene, cfg, arrays)
+    diffuse_pack, caustic_pack, radiance_pack = grids[:3]
+    arrays = dict(arrays)
+    if diffuse_pack is not None:
+        arrays["pm_diffuse"] = diffuse_pack
+    if caustic_pack is not None:
+        arrays["pm_caustic"] = caustic_pack
+    if radiance_pack is not None:
+        arrays["pm_radiance"] = radiance_pack
     # make_photon_sample_step returns an already-jitted step (possibly a
     # host-level band loop — see LANE_CHUNK)
     step_j = make_photon_sample_step(cscene, cfg, grids)

@@ -61,7 +61,11 @@ def render(cscene: CompiledScene, cfg: RenderConfig,
             and cfg.caustic_type in ("photon", "both")):
         from .photonmap import build_caustic_map
 
-        caustic = build_caustic_map(cscene, cfg, arrays)
+        cmap = build_caustic_map(cscene, cfg, arrays)
+        if cmap is not None:
+            c_pack, c_radius, c_nem = cmap
+            arrays = dict(arrays, pm_caustic=c_pack)
+            caustic = (c_radius, c_nem)
     step = make_sample_step(cscene.static, cscene.camera, cfg,
                             caustic=caustic)
     step_j = jax.jit(step, donate_argnums=(1,))

@@ -8,9 +8,10 @@ Per pass:
                 film as ordinary samples.
   photon pass — wavefront photon shoot (shared with photonmapping), then
                 flux transfer formulated as a GATHER: each hitpoint pulls
-                photons within its CURRENT radius from this pass's photon
-                hash grid (mathematically identical to the reference's
-                hash-grid scatter, but contention-free — SURVEY §7.2 #2).
+                photons within its CURRENT radius via the flash-blocked
+                brute-force density kernel (ops/photon_flash — mathematically
+                identical to the reference's hash-grid scatter, but
+                contention-free; SURVEY §7.2 #2).
   update      — per-pixel R²/N/τ progressive shrink:
                 R²' = R²·(N+αM)/(N+M), τ' = τ·same, N' = N+αM  (α = 0.7).
 
@@ -34,7 +35,7 @@ from ..film.imagefilm import film_init, film_splat
 from ..materials import bsdf
 from ..materials.base import MT_COATED_GLOSSY, MT_GLOSSY, MT_SHINYDIFFUSE, \
     gather_rows
-from ..ops.photon_grid import build_photon_grid, gather_photons
+from ..ops.photon_flash import make_photon_pack, density_flash
 from .config import RenderConfig
 from .engine import _closest_hit, _direct_lighting, _surface_point
 from .photonmap import _light_cdf, MAX_PHOTON_LANES
@@ -141,24 +142,12 @@ def make_eye_pass(cscene, cfg: RenderConfig):
     return eye_pass
 
 
-def flux_update(hitpoints, grid, r2, n_acc, tau, alpha: float):
-    """Gather this pass's photons into hitpoints; progressive update."""
-    radius = jnp.sqrt(r2)
-
-    def acc(carry, ph, w):
-        m, flux = carry
-        # photon incoming on the hitpoint's front side; fields are (N, K)
-        side = jnp.sum(ph["dir"] * hitpoints["normal"][:, None, :],
-                       axis=-1) > 0.0
-        w = w * side.astype(jnp.float32)
-        return (m + jnp.sum(w, axis=1),
-                flux + jnp.sum(w[..., None] * ph["power"], axis=1))
-
-    nq = hitpoints["pos"].shape[0]
-    m, flux = gather_photons(
-        grid, hitpoints["pos"], radius, acc,
-        (jnp.zeros((nq,), jnp.float32), jnp.zeros((nq, 3), jnp.float32)),
-    )
+def flux_update(hitpoints, pack, r2, n_acc, tau, alpha: float):
+    """Gather this pass's photons into hitpoints; progressive update.
+    density_flash handles the per-hitpoint radius and the front-side test
+    (photon stored incoming direction vs hitpoint normal)."""
+    flux, m = density_flash(pack, hitpoints["pos"], hitpoints["normal"],
+                            jnp.sqrt(r2))
     m = jnp.where(hitpoints["valid"], m, 0.0)
     # BSDF at hitpoint is Lambertian: f = fd (ρ/π)
     tau_add = flux * hitpoints["fd"] * hitpoints["tp"]
@@ -187,7 +176,6 @@ def render_sppm(cscene, cfg: RenderConfig, progress_cb=None):
     else:
         # pixel-footprint estimate (reference pmIRE-ish)
         r0 = scene_diag / max(h, w) * 2.0
-    cell = r0  # grid cell >= max radius; radii only shrink
 
     eye = jax.jit(make_eye_pass(cscene, cfg), donate_argnums=(1,))
     lanes = min(MAX_PHOTON_LANES,
@@ -203,15 +191,14 @@ def render_sppm(cscene, cfg: RenderConfig, progress_cb=None):
     if n <= LANE_CHUNK:
         update_j = update_1
     else:
-        # photon-grid gathers fault the TPU runtime above ~16K query
-        # lanes (see photonmap.LANE_CHUNK) — run the flux transfer in
+        # bound the (BQ-blocked) flux-transfer working set — run in
         # bands; each band is an independent per-pixel update
-        def update_j(hp, grid, r2, n_acc, tau, alpha):
+        def update_j(hp, pack, r2, n_acc, tau, alpha):
             outs = []
             for c0 in range(0, n, LANE_CHUNK):
                 sl = slice(c0, min(c0 + LANE_CHUNK, n))
                 hp_c = {kk: v[sl] for kk, v in hp.items()}
-                outs.append(update_1(hp_c, grid, r2[sl], n_acc[sl],
+                outs.append(update_1(hp_c, pack, r2[sl], n_acc[sl],
                                      tau[sl], alpha=alpha))
             return tuple(jnp.concatenate(xs, 0) for xs in zip(*outs))
 
@@ -221,7 +208,6 @@ def render_sppm(cscene, cfg: RenderConfig, progress_cb=None):
     n_acc = jnp.zeros((n,), jnp.float32)
     tau = jnp.zeros((n, 3), jnp.float32)
     n_emitted_total = 0
-    bmin = jnp.asarray(cscene.bound_min) - 1e-3
 
     t1 = time.perf_counter()
     for p in range(cfg.sppm_passes):
@@ -230,9 +216,9 @@ def render_sppm(cscene, cfg: RenderConfig, progress_cb=None):
         from .photonmap import _compact_photons
 
         rec = _compact_photons(rec)
-        grid = build_photon_grid(rec["pos"], rec["valid"], cell, bmin,
-                                 dict(dir=rec["dir"], power=rec["power"]))
-        r2, n_acc, tau = update_j(hitpoints, grid, r2, n_acc, tau,
+        pack = make_photon_pack(rec["pos"], rec["valid"], rec["dir"],
+                                rec["power"])
+        r2, n_acc, tau = update_j(hitpoints, pack, r2, n_acc, tau,
                                   alpha=cfg.sppm_alpha)
         n_emitted_total += lanes
         if progress_cb:

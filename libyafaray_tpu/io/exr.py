@@ -1,14 +1,17 @@
-"""Minimal OpenEXR 2.0 codec — uncompressed float32 scanlines, single- and
-multi-part-free multilayer via channel naming (reference: exrHandler.cc
-writes all render passes into one multilayer EXR; SURVEY §2.12).
+"""Minimal OpenEXR 2.0 codec — single-part scanline files, multilayer via
+channel naming (reference: exrHandler.cc writes all render passes into one
+multilayer EXR; SURVEY §2.12).
 
-Only the subset needed for render output + reload is implemented:
+Subset implemented:
   * write: float32, compression NONE, channels named `layer.R/G/B`
-  * read:  float32/half, compression NONE
+  * read:  float32/half/uint channels; compression NONE, RLE, ZIPS
+    (1-line zlib) and ZIP (16-line zlib) — i.e. everything commonly
+    produced by renderers/DCCs except the wavelet codecs (PIZ/B44/DWA).
 """
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -20,6 +23,50 @@ def _attr(name: bytes, typ: bytes, data: bytes) -> bytes:
     return name + b"\0" + typ + b"\0" + struct.pack("<i", len(data)) + data
 
 
+def _unfilter(buf: bytes) -> bytes:
+    """Undo the EXR zip/rle byte filter: delta predictor, then re-interleave
+    the two halves (ImfZip.cpp uncompress order)."""
+    d = np.frombuffer(buf, np.uint8).astype(np.int64)
+    n = d.shape[0]
+    rec = ((np.cumsum(d) - 128 * np.arange(n)) % 256).astype(np.uint8)
+    half = (n + 1) // 2
+    out = np.empty(n, np.uint8)
+    out[0::2] = rec[:half]
+    out[1::2] = rec[half:]
+    return out.tobytes()
+
+
+def _filter(buf: bytes) -> bytes:
+    """EXR zip byte filter (compress side): de-interleave, then delta."""
+    d = np.frombuffer(buf, np.uint8)
+    n = d.shape[0]
+    half = (n + 1) // 2
+    tmp = np.empty(n, np.uint8)
+    tmp[:half] = d[0::2]
+    tmp[half:] = d[1::2]
+    t = tmp.astype(np.int64)
+    out = np.empty(n, np.int64)
+    out[0] = t[0]
+    out[1:] = t[1:] - t[:-1] + 128
+    return (out % 256).astype(np.uint8).tobytes()
+
+
+def _rle_decode(raw: bytes, expect: int) -> bytes:
+    src = np.frombuffer(raw, np.int8)
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n and len(out) < expect:
+        c = int(src[i])
+        i += 1
+        if c < 0:  # literal run of -c bytes
+            out += raw[i:i - c]
+            i -= c
+        else:  # replicate next byte c+1 times
+            out += raw[i:i + 1] * (c + 1)
+            i += 1
+    return bytes(out)
+
+
 def _channel_list(names):
     out = b""
     for n in sorted(names):
@@ -27,11 +74,14 @@ def _channel_list(names):
     return out + b"\0"
 
 
-def write_exr(path: str, img: np.ndarray):
-    write_exr_multilayer(path, {"": np.asarray(img, np.float32)})
+def write_exr(path: str, img: np.ndarray, compression: str = "zips"):
+    write_exr_multilayer(path, {"": np.asarray(img, np.float32)},
+                         compression)
 
 
-def write_exr_multilayer(path: str, layers: dict):
+def write_exr_multilayer(path: str, layers: dict,
+                         compression: str = "zips"):
+    comp_id = {"none": 0, "zips": 2}[compression]
     h, w = next(iter(layers.values())).shape[:2]
     chan_names = []
     chan_data = {}
@@ -45,7 +95,7 @@ def write_exr_multilayer(path: str, layers: dict):
 
     header = b""
     header += _attr(b"channels", b"chlist", _channel_list(chan_names))
-    header += _attr(b"compression", b"compression", b"\0")  # NONE
+    header += _attr(b"compression", b"compression", bytes([comp_id]))
     header += _attr(b"dataWindow", b"box2i",
                     struct.pack("<iiii", 0, 0, w - 1, h - 1))
     header += _attr(b"displayWindow", b"box2i",
@@ -58,22 +108,32 @@ def write_exr_multilayer(path: str, layers: dict):
     header += b"\0"  # end of header
 
     sorted_names = sorted(chan_names)
-    scan_size = 8 + w * 4 * len(sorted_names)
-    table_start = 8 + 1 + len(header) - 1  # magic+version + header
-    # compute offsets
+    # build per-scanline chunks (ZIPS = 1 line per chunk; raw kept when
+    # zlib doesn't shrink, per the EXR spec)
+    chunks = []
+    for y in range(h):
+        raw = b"".join(chan_data[cn][y].astype("<f4").tobytes()
+                       for cn in sorted_names)
+        if comp_id == 2:
+            z = zlib.compress(_filter(raw))
+            chunks.append(z if len(z) < len(raw) else raw)
+        else:
+            chunks.append(raw)
     with open(path, "wb") as f:
         f.write(struct.pack("<I", _MAGIC))
         f.write(struct.pack("<I", 2))  # version 2, single part scanline
         f.write(header)
         offset_table_pos = f.tell()
         data_start = offset_table_pos + 8 * h
-        offsets = [data_start + y * scan_size for y in range(h)]
+        offsets = []
+        off = data_start
+        for c in chunks:
+            offsets.append(off)
+            off += 8 + len(c)
         f.write(struct.pack(f"<{h}Q", *offsets))
-        for y in range(h):
-            f.write(struct.pack("<i", y))
-            f.write(struct.pack("<i", w * 4 * len(sorted_names)))
-            for cn in sorted_names:
-                f.write(chan_data[cn][y].astype("<f4").tobytes())
+        for y, c in enumerate(chunks):
+            f.write(struct.pack("<ii", y, len(c)))
+            f.write(c)
 
 
 def read_exr(path: str) -> np.ndarray:
@@ -118,24 +178,38 @@ def read_exr_multilayer(path: str) -> dict:
         elif name == "compression":
             compression = payload[0]
     pos += 1  # header terminator
-    if compression != 0:
-        raise NotImplementedError("only uncompressed EXR supported in-repo")
-    offsets = struct.unpack_from(f"<{h}Q", data, pos)
+    lines_per_chunk = {0: 1, 1: 1, 2: 1, 3: 16}.get(compression)
+    if lines_per_chunk is None:
+        raise NotImplementedError(
+            f"EXR compression type {compression} (PIZ/B44/DWA) not "
+            "supported by the in-repo codec")
+    n_chunks = -(-h // lines_per_chunk)
+    offsets = struct.unpack_from(f"<{n_chunks}Q", data, pos)
     chans = sorted(c for c, _ in channels)
     ptypes = dict(channels)
+    _size = {0: 4, 1: 2, 2: 4}  # UINT, HALF, FLOAT bytes
+    _dt = {0: "<u4", 1: "<f2", 2: "<f4"}
     planes = {c: np.zeros((h, w), np.float32) for c in chans}
-    for y, off in enumerate(offsets):
-        p = off + 8
-        for c in chans:
-            if ptypes[c] == _PIXEL_FLOAT:
-                planes[c][y] = np.frombuffer(data, "<f4", w, p)
-                p += 4 * w
-            elif ptypes[c] == 1:  # HALF
-                planes[c][y] = np.frombuffer(data, "<f2", w, p).astype(np.float32)
-                p += 2 * w
-            else:  # UINT
-                planes[c][y] = np.frombuffer(data, "<u4", w, p).astype(np.float32)
-                p += 4 * w
+    line_bytes = sum(_size[ptypes[c]] * w for c in chans)
+    for off in offsets:
+        (y0,) = struct.unpack_from("<i", data, off)
+        (nbytes,) = struct.unpack_from("<i", data, off + 4)
+        raw = data[off + 8:off + 8 + nbytes]
+        n_lines = min(lines_per_chunk, h - y0)
+        expect = line_bytes * n_lines
+        if compression == 0 or nbytes == expect:
+            chunk = raw  # NONE, or stored raw (didn't compress smaller)
+        elif compression in (2, 3):  # ZIPS / ZIP
+            chunk = _unfilter(zlib.decompress(raw))
+        else:  # RLE
+            chunk = _unfilter(_rle_decode(raw, expect))
+        p = 0
+        for ly in range(n_lines):
+            for c in chans:
+                sz = _size[ptypes[c]]
+                planes[c][y0 + ly] = np.frombuffer(
+                    chunk, _dt[ptypes[c]], w, p).astype(np.float32)
+                p += sz * w
     # group channels into layers
     layers: dict = {}
     groups: dict = {}

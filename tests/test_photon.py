@@ -44,6 +44,48 @@ def test_grid_gather_matches_bruteforce():
     assert np.allclose(np.asarray(flux), flux_ref, rtol=1e-4, atol=1e-5)
 
 
+def test_flash_density_nearest_match_bruteforce():
+    """Flash-blocked brute-force density/nearest (the render-time kernels)
+    == numpy brute force, including invalid photons, per-query radii and
+    the front-side test."""
+    from libyafaray_tpu.ops.photon_flash import make_photon_pack, \
+        density_flash, nearest_flash
+
+    rng = np.random.default_rng(11)
+    p, nq = 3000, 300
+    pos = rng.uniform(0, 4, (p, 3)).astype(np.float32)
+    power = rng.random((p, 3)).astype(np.float32)
+    dirs = rng.normal(size=(p, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    valid = rng.random(p) > 0.1
+    qp = rng.uniform(0, 4, (nq, 3)).astype(np.float32)
+    qn = rng.normal(size=(nq, 3)).astype(np.float32)
+    qn /= np.linalg.norm(qn, axis=1, keepdims=True)
+    radius = rng.uniform(0.1, 0.4, nq).astype(np.float32)
+
+    pack = make_photon_pack(jnp.asarray(pos), jnp.asarray(valid),
+                            jnp.asarray(dirs), jnp.asarray(power))
+    flux, cnt = density_flash(pack, jnp.asarray(qp), jnp.asarray(qn),
+                              jnp.asarray(radius))
+
+    d2 = ((qp[:, None, :] - pos[None, :, :]) ** 2).sum(-1)
+    front = (qn @ dirs.T) > 0
+    sel = (d2 <= (radius * radius)[:, None]) & valid[None, :] & front
+    flux_ref = (sel[..., None] * power[None, :, :]).sum(1)
+    cnt_ref = sel.sum(1)
+    assert np.array_equal(np.asarray(cnt), cnt_ref.astype(np.float32))
+    assert np.allclose(np.asarray(flux), flux_ref, rtol=1e-4, atol=1e-5)
+
+    val, found = nearest_flash(pack, jnp.asarray(qp), jnp.asarray(radius))
+    d2m = np.where(valid[None, :], d2, np.inf)
+    am = np.argmin(d2m, axis=1)
+    found_ref = d2m[np.arange(nq), am] <= radius * radius
+    assert np.array_equal(np.asarray(found), found_ref)
+    val_ref = np.where(found_ref[:, None], power[am], 0.0)
+    got = np.asarray(val) * np.asarray(found)[:, None]
+    assert np.allclose(got, val_ref, rtol=1e-4, atol=1e-5)
+
+
 @pytest.fixture(scope="module")
 def cornell():
     from libyafaray_tpu.scene.xml_parser import parse_xml_file
