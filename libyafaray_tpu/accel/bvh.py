@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import numpy as np
 
-BVH_THRESHOLD = 4096  # below this, brute-force all-pairs wins on TPU
 LEAF_SIZE = 4
 N_BINS = 16
 

@@ -48,15 +48,15 @@ def _closest_hit(scene_arrays, static, org, dirn, tmin=None, tmax=None):
     from ..ops import pallas_intersect as pli
 
     if (pli._use_pallas() and static.n_tris_real <= pli.MAX_TRIS
-            and "tri_pack9" in scene_arrays):
+            and "tri_pack10" in scene_arrays):
         n = org.shape[0]
         if tmin is None:
             tmin = jnp.full((n,), isect.RAY_EPS, jnp.float32)
         if tmax is None:
             tmax = jnp.full((n,), jnp.inf, jnp.float32)
         t, tri, u, v, hit = pli.closest_hit_pallas(
-            scene_arrays["tri_pack9"], org, dirn, tmin, tmax,
-            n_tris=static.n_tris_real)
+            scene_arrays["tri_pack10"], scene_arrays["tri_cluster8"],
+            org, dirn, tmin, tmax, n_tris=static.n_tris_real)
         return isect.Hit(t=t, tri=tri, u=u, v=v, hit=hit)
     return isect.closest_hit_brute(scene_arrays["tris"], org, dirn, tmin,
                                    tmax, chunk=static.chunk,
@@ -75,14 +75,14 @@ def _shadow_transmission(scene_arrays, static, cfg, org, dirn, dist):
         )
     from ..ops import pallas_intersect as pli
 
-    n_stris = scene_arrays.get("stri_pack9", None)
+    n_stris = scene_arrays.get("stri_pack10", None)
     if (pli._use_pallas() and n_stris is not None
             and n_stris.shape[1] <= pli.MAX_TRIS):
         filt4 = (scene_arrays["sfilt4"] if cfg.transp_shad
                  else scene_arrays["sfilt4_binary"])
         return pli.shadow_transmission_pallas(
-            scene_arrays["stri_pack9"], filt4, org, dirn, dist,
-            n_tris=n_stris.shape[1])
+            scene_arrays["stri_pack10"], scene_arrays["stri_cluster8"],
+            filt4, org, dirn, dist, n_tris=n_stris.shape[1])
     return isect.shadow_transmission_brute(
         scene_arrays["stris"], filt, org, dirn, dist, chunk=static.chunk
     )

@@ -7,9 +7,9 @@ is a `lax.while_loop` where each lane holds only a node pointer — no
 per-lane stack in memory.  All lanes step in lockstep; finished lanes park
 at node -1.  Leaves test <= LEAF_SIZE triangles via gathers.
 
-This is the scalable path for scenes above BVH_THRESHOLD triangles; small
-scenes use the dense all-pairs kernel (ops/intersect.py) which needs no
-gathers at all.
+This is the fallback path for scenes above the clustered dense kernel's
+budget (ops/pallas_intersect.MAX_TRIS); smaller scenes use the cluster-
+culled dense kernels which need no gathers at all.
 """
 from __future__ import annotations
 

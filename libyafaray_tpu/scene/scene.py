@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..accel.bvh import build_bvh, BVH_THRESHOLD
+from ..accel.bvh import build_bvh
 from ..backgrounds.base import BackgroundSpec
 from ..backgrounds.factory import background_from_params
 from ..cameras.base import Camera
@@ -458,28 +458,40 @@ class Scene:
         tri_geom_pack = np.concatenate(
             [v0.astype(np.float32), e1.astype(np.float32),
              e2.astype(np.float32)], axis=1)
-        # SoA-transposed packs for the pallas kernels (9, T): v0|e1|e2 rows
-        tri_pack9 = tri_geom_pack.T.copy()
-        stri_pack9 = np.concatenate(
-            [sv0.astype(np.float32), se1.astype(np.float32),
-             se2.astype(np.float32)], axis=1).T.copy()
+        # Clustered packs for the pallas kernels: (10, T) v0|e1|e2|orig_id
+        # rows in Morton order + per-cluster AABBs (cluster culling — the
+        # dense path's replacement for tree traversal)
+        from ..ops.pallas_intersect import build_tri_pack, morton_order
+
+        t_order = morton_order(v0, e1, e2) if n_real > 1024 else None
+        tri_pack10, tri_cluster8, _ = build_tri_pack(v0, e1, e2, t_order)
+        ns_real = sv0.shape[0]
+        s_order = morton_order(sv0, se1, se2) if ns_real > 1024 else None
+        stri_pack10, stri_cluster8, s_ord = build_tri_pack(
+            sv0, se1, se2, s_order)
+        # shadow filters in PACK order (padded entries alias tri 0 — they
+        # are degenerate and never hit)
+        sfilt_pk = filt_m[smat][s_ord]
+        sfilt_bin_pk = np.where(
+            np.min(sfilt_pk, axis=-1, keepdims=True) >= 1.0 - 1e-6,
+            1.0, 0.0).astype(np.float32)
 
         arrays = dict(
             tris=dict(v0=v0p.astype(np.float32), e1=e1p.astype(np.float32),
                       e2=e2p.astype(np.float32)),
             tri_shade_pack=tri_shade_pack,
             tri_geom_pack=tri_geom_pack,
-            tri_pack9=tri_pack9,
-            stri_pack9=stri_pack9,
+            tri_pack10=tri_pack10,
+            tri_cluster8=tri_cluster8,
+            stri_pack10=stri_pack10,
+            stri_cluster8=stri_cluster8,
             sfilt4=np.concatenate(
-                [sfilt[:stri_pack9.shape[1]].T,
-                 np.zeros((1, stri_pack9.shape[1]), np.float32)]
-            ).astype(np.float32),
+                [sfilt_pk.T.astype(np.float32),
+                 np.zeros((1, sfilt_pk.shape[0]), np.float32)]),
             sfilt4_binary=np.concatenate(
-                [np.broadcast_to(sfilt_bin[:stri_pack9.shape[1]],
-                                 (stri_pack9.shape[1], 3)).T,
-                 np.zeros((1, stri_pack9.shape[1]), np.float32)]
-            ).astype(np.float32),
+                [np.broadcast_to(sfilt_bin_pk, (sfilt_pk.shape[0], 3))
+                 .T.astype(np.float32),
+                 np.zeros((1, sfilt_pk.shape[0]), np.float32)]),
             stris=dict(v0=sv0p.astype(np.float32),
                        e1=se1p.astype(np.float32),
                        e2=se2p.astype(np.float32)),
@@ -514,7 +526,9 @@ class Scene:
                 arrays[f"ies_{li}"] = np.asarray(r["_ies_profile"],
                                                  np.float32)
 
-        intersector = "brute" if n_real <= BVH_THRESHOLD else "bvh"
+        from ..ops.pallas_intersect import MAX_TRIS as _DENSE_MAX_TRIS
+
+        intersector = "brute" if n_real <= _DENSE_MAX_TRIS else "bvh"
         if intersector == "bvh":
             arrays["bvh"] = build_bvh(v0, e1, e2)
             arrays["sbvh"] = build_bvh(sv0, se1, se2)

@@ -120,14 +120,18 @@ def test_pallas_kernels_interpret_match_brute(soup, rays):
     pli.INTERPRET = True
     try:
         v0, e1, e2 = soup
-        v0, e1, e2 = v0[:200], e1[:200], e2[:200]  # >64: chunked fori path
+        # >BT so there are multiple clusters; Morton order exercises the
+        # orig-id remap row and the cluster-culling path
+        v0, e1, e2 = v0[:400], e1[:400], e2[:400]
         org, d = rays
         org, d = org[:256], d[:256]
-        tri9 = jnp.asarray(np.concatenate([v0, e1, e2], axis=1).T)
+        order = pli.morton_order(v0, e1, e2)
+        pack10, cluster8, s_ord = pli.build_tri_pack(v0, e1, e2, order)
         tmin = jnp.full((256,), 5e-5)
         tmax = jnp.full((256,), jnp.inf)
-        t, tri, u, v, hit = pli.closest_hit_pallas(tri9, org, d, tmin, tmax,
-                                                   n_tris=200)
+        t, tri, u, v, hit = pli.closest_hit_pallas(
+            jnp.asarray(pack10), jnp.asarray(cluster8), org, d, tmin, tmax,
+            n_tris=400)
         v0p, e1p, e2p, _ = pad_triangles(v0, e1, e2, 64)
         tris_p = dict(v0=jnp.asarray(v0p), e1=jnp.asarray(e1p),
                       e2=jnp.asarray(e2p))
@@ -138,15 +142,17 @@ def test_pallas_kernels_interpret_match_brute(soup, rays):
         assert np.array_equal(np.asarray(tri)[m], np.asarray(hb.tri)[m])
 
         rng = np.random.default_rng(9)
-        filt = (rng.random((200, 3)) * (rng.random((200, 1)) > 0.5)).astype(
+        filt = (rng.random((400, 3)) * (rng.random((400, 1)) > 0.5)).astype(
             np.float32)
+        filt_pk = filt[s_ord]
         filt4 = jnp.asarray(np.concatenate(
-            [filt.T, np.zeros((1, 200), np.float32)]))
+            [filt_pk.T, np.zeros((1, filt_pk.shape[0]), np.float32)]))
         dist = jnp.full((256,), 2.5, jnp.float32)
-        tr_p = pli.shadow_transmission_pallas(tri9, filt4, org, d, dist,
-                                              n_tris=200)
+        tr_p = pli.shadow_transmission_pallas(
+            jnp.asarray(pack10), jnp.asarray(cluster8), filt4, org, d, dist,
+            n_tris=400)
         filt_pad = np.concatenate(
-            [filt, np.zeros((v0p.shape[0] - 200, 3), np.float32)])
+            [filt, np.zeros((v0p.shape[0] - 400, 3), np.float32)])
         tr_b = shadow_transmission_brute(tris_p, jnp.asarray(filt_pad),
                                          org, d, dist, chunk=64)
         assert np.allclose(np.asarray(tr_p), np.asarray(tr_b), atol=2e-3)
