@@ -293,7 +293,7 @@ def make_photon_sample_step(cscene, cfg: RenderConfig, grids):
             u2 = qmc.sample_dim(s_idx, bdim + qmc.SLOT_BSDF_V, skey_b)
             ul = qmc.sample_dim(s_idx, bdim + qmc.SLOT_LIGHT_PICK, skey_b)
             smp = bsdf.sample_bsdf(row, n_sh, ng_sh, wo, u1, u2, ul)
-            cont = smp["specular"] & smp["valid"] & ~done_diffuse
+            cont = smp["chain"] & smp["valid"] & ~done_diffuse
             alive = alive & cont
             throughput = throughput * smp["tp"]
             off = jnp.where(smp["transmit"], -1.0, 1.0)[..., None]

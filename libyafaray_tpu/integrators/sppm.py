@@ -122,7 +122,7 @@ def make_eye_pass(cscene, cfg: RenderConfig):
             u2 = qmc.sample_dim(s_idx, bdim + qmc.SLOT_BSDF_V, skey_b)
             ul = qmc.sample_dim(s_idx, bdim + qmc.SLOT_LIGHT_PICK, skey_b)
             smp = bsdf.sample_bsdf(row, n_sh, ng_sh, wo, u1, u2, ul)
-            cont = smp["specular"] & smp["valid"] & ~stored
+            cont = smp["chain"] & smp["valid"] & ~stored
             alive = alive & cont
             throughput = throughput * smp["tp"]
             off = jnp.where(smp["transmit"], -1.0, 1.0)[..., None]

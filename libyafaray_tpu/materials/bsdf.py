@@ -52,6 +52,60 @@ def _need(families, codes):
     return families is None or any(c in families for c in codes)
 
 
+def _rough_glass_terms(row, n, ng, wo, wi):
+    """Walter-07 microfacet dielectric terms for an arbitrary (wo, wi)
+    pair (reference src/materials/roughglass.cc semantics), using the
+    repo's Blinn exponent convention: D = (e+2)/(2π)·cosᵉθh, half-vector
+    sampling pdf Ph = (e+1)/(2π)·cosᵉθh (sample_blinn_h), V-cavity G.
+    Radiance-transport (asymmetric η²) form so the smooth limit matches
+    the delta glass path.  Returns (f (N,3), pdf (N,))."""
+    entering = vmath.dot(ng, wo) > 0.0
+    ior = jnp.maximum(row["ior"], 1.0 + 1e-6)
+    eta = jnp.where(entering, ior, 1.0 / ior)  # n_transmitted / n_incident
+    nf = vmath.face_forward(n, wo)
+    cos_o = jnp.maximum(vmath.dot(nf, wo), 1e-6)
+    cos_i = vmath.dot(nf, wi)
+    refl = cos_i > 0.0
+    abs_ci = jnp.maximum(jnp.abs(cos_i), 1e-6)
+
+    h_r = wo + wi
+    h_t = -(wo + eta[..., None] * wi)
+    h = jnp.where(refl[..., None], h_r, h_t)
+    h = vmath.normalize(h)
+    h = jnp.where(vmath.dot(h, nf)[..., None] < 0.0, -h, h)
+    hz = jnp.clip(vmath.dot(h, nf), 1e-6, 1.0)
+    oh = vmath.dot(wo, h)
+    ih = vmath.dot(wi, h)
+
+    e = row["exponent"]
+    cos_pow = jnp.power(hz, e)
+    d_ndf = (e + 2.0) / (2.0 * PI) * cos_pow
+    p_h = (e + 1.0) / (2.0 * PI) * cos_pow
+    abs_oh = jnp.maximum(jnp.abs(oh), 1e-6)
+    g = jnp.minimum(
+        1.0, jnp.minimum(2.0 * hz * cos_o / abs_oh,
+                         2.0 * hz * abs_ci / abs_oh))
+    fr = vmath.fresnel_dielectric(abs_oh, eta)
+
+    f_r = (fr * d_ndf * g / (4.0 * cos_o * abs_ci))[..., None] \
+        * row["mirror_color"]
+    pdf_r = fr * p_h / (4.0 * abs_oh)
+
+    jdenom = oh + eta * ih
+    j2 = jnp.maximum(jdenom * jdenom, 1e-8)
+    abs_ih = jnp.abs(ih)
+    f_t = (abs_oh * abs_ih / (cos_o * abs_ci)
+           * eta * eta * (1.0 - fr) * d_ndf * g / j2)[..., None] \
+        * row["filter_color"]
+    pdf_t = (1.0 - fr) * p_h * eta * eta * abs_ih / j2
+    # transmission only valid when wo/wi really straddle the surface and
+    # the half-vector geometry is physical (oh > 0 > ih relative to h)
+    t_ok = (~refl) & (oh > 0.0) & (ih < 0.0)
+    f = jnp.where(refl[..., None], f_r, jnp.where(t_ok[..., None], f_t, 0.0))
+    pdf = jnp.where(refl, pdf_r, jnp.where(t_ok, pdf_t, 0.0))
+    return f, pdf
+
+
 def eval_bsdf(row, n, ng, wo, wi, families=None):
     """f(wo, wi) of all non-delta lobes. (N,3)."""
     cos_o = vmath.dot(n, wo)
@@ -81,6 +135,10 @@ def eval_bsdf(row, n, ng, wo, wi, families=None):
             ((mtype == MT_GLOSSY) | (mtype == MT_COATED_GLOSSY))[..., None],
             f_glossy, f,
         )
+
+    if _need(families, (MT_ROUGH_GLASS,)):
+        f_rg, _ = _rough_glass_terms(row, n, ng, wo, wi)
+        f = jnp.where((mtype == MT_ROUGH_GLASS)[..., None], f_rg, f)
     return f
 
 
@@ -115,6 +173,10 @@ def pdf_bsdf(row, n, ng, wo, wi, families=None):
             (mtype == MT_GLOSSY) | (mtype == MT_COATED_GLOSSY),
             pdf_glossy, pdf,
         )
+
+    if _need(families, (MT_ROUGH_GLASS,)):
+        _, pdf_rg = _rough_glass_terms(row, n, ng, wo, wi)
+        pdf = jnp.where(mtype == MT_ROUGH_GLASS, pdf_rg, pdf)
     return pdf
 
 
@@ -269,8 +331,10 @@ def sample_bsdf(row, n, ng, wo, u1, u2, u_lobe, wavelength=None,
         eta = jnp.where(is_null, 1.0, eta)
 
         # rough glass: perturb around a sampled half-vector, else the normal
-        h_rough = vmath.from_local(u, v, nf, sample_blinn_h(row, u1, u2))
-        h_used = jnp.where((mtype == MT_ROUGH_GLASS)[..., None], h_rough, nf)
+        is_rough = mtype == MT_ROUGH_GLASS
+        h_l = sample_blinn_h(row, u1, u2)
+        h_rough = vmath.from_local(u, v, nf, h_l)
+        h_used = jnp.where(is_rough[..., None], h_rough, nf)
         cos_oh = jnp.abs(vmath.dot(h_used, wo))
         kr = vmath.fresnel_dielectric(cos_oh, eta)
         kr = jnp.where(is_null, 0.0, kr)
@@ -286,13 +350,44 @@ def sample_bsdf(row, n, ng, wo, u1, u2, u_lobe, wavelength=None,
             gs_tp = jnp.where((~pick_refl & dispersive)[..., None],
                               gs_tp * wl_weight, gs_tp)
         gs_tp = jnp.where(is_null[..., None], 1.0, gs_tp)
+
+        # rough-glass microfacet weighting (Walter-07 with the Blinn-h
+        # sampler; see _rough_glass_terms): tp ×= G·|oh|·(e+2)/((e+1)·
+        # cosθo) — Ph = (e+1)/2π·cosᵉθh is already a solid-angle pdf, so
+        # D/Ph = (e+2)/(e+1); the F/(1-F) terms cancel against the lobe
+        # pick — and a real solid-angle pdf so NEE/MIS sees rough
+        # transmission
+        e_b = row["exponent"]
+        hz_s = jnp.clip(h_l[..., 2], 1e-6, 1.0)
+        cos_o_c = jnp.maximum(jnp.abs(cos_o), 1e-6)
+        cos_i_s = jnp.maximum(jnp.abs(vmath.dot(nf, gs_wi)), 1e-6)
+        k_g = jnp.minimum(
+            1.0, jnp.minimum(2.0 * hz_s * cos_o_c / jnp.maximum(cos_oh, 1e-6),
+                             2.0 * hz_s * cos_i_s / jnp.maximum(cos_oh, 1e-6)))
+        k_rough = (k_g * cos_oh * (e_b + 2.0)
+                   / ((e_b + 1.0) * cos_o_c))
+        gs_tp = gs_tp * jnp.where(is_rough, k_rough, 1.0)[..., None]
+        p_h = (e_b + 1.0) / (2.0 * PI) * jnp.power(hz_s, e_b)
+        ih_s = vmath.dot(gs_wi, h_used)
+        j_t = cos_oh + eta * ih_s
+        pdf_rough = jnp.where(
+            pick_refl, kr * p_h / (4.0 * jnp.maximum(cos_oh, 1e-6)),
+            (1.0 - kr) * p_h * eta * eta * jnp.abs(ih_s)
+            / jnp.maximum(j_t * j_t, 1e-8))
+
+        # sidedness: a wide-NDF half-vector can reflect below / refract
+        # above the surface; Walter-07 discards those samples
+        side_ok = jnp.where(pick_refl, vmath.dot(nf, gs_wi) > 0.0,
+                            vmath.dot(nf, gs_wi) < 0.0)
+        rough_ok = ~is_rough | side_ok
+
         m = is_glass
         wi = jnp.where(m[..., None], gs_wi, wi)
         tp = jnp.where(m[..., None], gs_tp, tp)
-        pdf = jnp.where(m, 0.0, pdf)
-        specular = jnp.where(m, True, specular)
+        pdf = jnp.where(m, jnp.where(is_rough, pdf_rough, 0.0), pdf)
+        specular = jnp.where(m, ~is_rough, specular)
         transmit = jnp.where(m, ~pick_refl, transmit)
-        valid = jnp.where(m, True, valid)
+        valid = jnp.where(m, rough_ok, valid)
 
     valid = valid & (luminance(jnp.abs(tp)) > 1e-7)
     out = dict(
@@ -302,6 +397,10 @@ def sample_bsdf(row, n, ng, wo, u1, u2, u_lobe, wavelength=None,
         # null transmission is NOT a scattering event: callers must
         # preserve their MIS state (spec_mask/prev_pdf) across it
         passthrough=is_null & transmit,
+        # "chain" continuation: lanes that photon-map/SPPM transport
+        # phases should follow before the first storable hit — specular
+        # plus rough glass (non-delta for MIS but not diffuse-storable)
+        chain=specular | (mtype == MT_ROUGH_GLASS),
     )
     if wavelength is not None:
         became = is_glass & dispersive & transmit & (wavelength < 0.0)

@@ -219,3 +219,23 @@ def test_bg_portal_light():
     # portal re-sampling must reproduce the IBL direct illumination
     assert abs(img_portal.mean() - img_ibl.mean()) < 0.06 * img_ibl.mean(), (
         img_portal.mean(), img_ibl.mean())
+
+
+def test_white_furnace_rough_glass():
+    """Lossless rough-glass sphere (filter=mirror=1, no absorption) in a
+    uniform env: energy conservation of the Walter-07 microfacet
+    transmission through the full engine (NEE+MIS with the new non-delta
+    rough lobe) — exitant ≈ env radiance everywhere."""
+    s = _sphere_scene(
+        {"type": "rough_glass", "IOR": 1.5, "alpha": 0.35,
+         "filter_color": (1.0, 1.0, 1.0),
+         "mirror_color": (1.0, 1.0, 1.0)},
+        {"type": "constant", "color": (0.5, 0.5, 0.5), "ibl": True,
+         "ibl_samples": 4},
+    )
+    res = render_scene(s)
+    img = res.image
+    assert np.isfinite(img).all()
+    err = np.abs(img - 0.5)
+    # rough dielectric keeps more variance than lambert; bound the mean
+    assert err.mean() < 0.05, (img.mean(), err.mean())

@@ -209,3 +209,59 @@ def test_blend_material_mixes_children():
     # mixture pdf matches the blended pdf fn
     p1 = np.asarray(blendmod.pdf_bsdf(mats, row, NRM, NRM, WO, s["wi"], True))
     assert np.allclose(np.asarray(s["pdf"]), p1, atol=1e-4)
+
+
+def test_rough_glass_sample_eval_pdf_consistent():
+    """Walter-07 rough glass: sampled tp == f·|cos|/(pdf·...) lane-wise,
+    pdf(sample) == pdf_bsdf(wi), energy bounded (reference
+    src/materials/roughglass.cc; SURVEY §2.4)."""
+    from libyafaray_tpu.materials.base import MT_ROUGH_GLASS
+
+    t = _table(mtype=MT_ROUGH_GLASS, ior=1.5, exponent=60.0,
+               filter_color=(1.0, 1.0, 1.0), mirror_color=(1.0, 1.0, 1.0))
+    row, s = _sample(t)
+    v = np.asarray(s["valid"])
+    assert not np.asarray(s["specular"])[v].any()  # non-delta now
+    assert np.asarray(s["chain"])[v].all()  # but still a chain lobe
+    pdf_s = np.asarray(s["pdf"])
+    assert (pdf_s[v] > 0).all()
+
+    # pdf from the standalone pdf fn at the sampled direction matches the
+    # sampler's reported pdf
+    pdf2 = np.asarray(bsdf.pdf_bsdf(row, NRM, NRM, WO, s["wi"]))
+    r = pdf_s[v] / np.maximum(pdf2[v], 1e-12)
+    assert np.quantile(np.abs(r - 1.0), 0.9) < 5e-3, np.quantile(
+        np.abs(r - 1.0), 0.9)
+
+    # sampled throughput equals f·|cos|/pdf (self-consistency of the
+    # microfacet weight simplification)
+    f = np.asarray(bsdf.eval_bsdf(row, NRM, NRM, WO, s["wi"]))
+    ci = np.abs(np.asarray(s["wi"])[:, 2])
+    tp_ref = f * (ci / np.maximum(pdf_s, 1e-12))[:, None]
+    tp = np.asarray(s["tp"])
+    ok = v & (pdf_s > 1e-6) & (ci > 1e-3)
+    rel = np.abs(tp[ok] - tp_ref[ok]) / np.maximum(tp_ref[ok], 1e-3)
+    assert np.quantile(rel, 0.9) < 2e-2, np.quantile(rel, 0.9)
+
+    # energy: mean weight ≤ ~1 (white furnace-ish bound)
+    est = tp[v].mean(axis=0)
+    assert np.all(est < 1.1), est
+
+
+def test_rough_glass_smooth_limit_matches_delta_glass():
+    """High exponent → rough glass converges to the delta glass split."""
+    from libyafaray_tpu.materials.base import MT_ROUGH_GLASS
+
+    t = _table(mtype=MT_ROUGH_GLASS, ior=1.5, exponent=20000.0,
+               filter_color=(1.0, 1.0, 1.0), mirror_color=(1.0, 1.0, 1.0))
+    row, s = _sample(t)
+    v = np.asarray(s["valid"])
+    trans = np.asarray(s["transmit"]) & v
+    cos_i = float(vmath.dot(NRM, WO)[0])
+    kr = float(vmath.fresnel_dielectric(jnp.asarray([cos_i]), 1.5)[0])
+    frac = 1.0 - trans[v].mean()
+    assert abs(frac - kr) < 0.03
+    # weights near 1 in the smooth limit
+    tp = np.asarray(s["tp"])[v]
+    assert np.quantile(np.abs(tp - 1.0), 0.8) < 0.05, np.quantile(
+        np.abs(tp - 1.0), 0.8)
