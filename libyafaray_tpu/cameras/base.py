@@ -190,3 +190,18 @@ def shoot_rays(cam: Camera, px, py, lu, lv):
         return org0 + jnp.zeros_like(d), vmath.normalize(d), weight
 
     raise ValueError(f"unknown camera type {cam.cam_type}")
+
+
+def pixel_cone(cam: Camera) -> tuple:
+    """Ray-cone initialization for texture mip LOD (the TPU-native stand-in
+    for the reference's per-ray differentials, ray_t/diffRay_t SURVEY
+    §2.1): returns (spread_per_unit_distance, base_width) — the cone
+    width at distance t is base + spread·t, approximating one pixel's
+    world-space footprint."""
+    if cam.cam_type in (CAM_PERSPECTIVE, CAM_ARCHITECT):
+        return 1.0 / (cam.resx * max(cam.focal, 1e-6)), 0.0
+    if cam.cam_type == CAM_ORTHO:
+        return 0.0, cam.scale / cam.resx
+    if cam.cam_type == CAM_ANGULAR:
+        return (cam.angle_deg * np.pi / 180.0) / cam.resx, 0.0
+    return 2.0 * np.pi / cam.resx, 0.0  # equirectangular

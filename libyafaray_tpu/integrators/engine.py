@@ -88,15 +88,17 @@ def _shadow_transmission(scene_arrays, static, cfg, org, dirn, dist):
     )
 
 
-def _surface_point(scene_arrays, hit, org, dirn):
+def _surface_point(scene_arrays, hit, org, dirn, fp=None):
     """Hit -> shading record.  All per-triangle attributes come from ONE
     packed gather (tri_shade_pack: pos 0:9, normal 9:18, uv 18:24,
-    geo_n 24:27, mat 27, light_id 28) — TPU gathers have a large fixed
-    cost, so one wide gather beats five narrow ones."""
+    geo_n 24:27, mat 27, light_id 28, uv_density 29) — TPU gathers have a
+    large fixed cost, so one wide gather beats six narrow ones.
+    fp: optional (N,) ray-cone footprint at the hit (world units), used
+    for texture mip LOD selection (reference spDifferentials_t role)."""
     tri = jnp.clip(hit.tri, 0, scene_arrays["tri_shade_pack"].shape[0] - 1)
     b1, b2 = hit.u, hit.v
     b0 = 1.0 - b1 - b2
-    pk = scene_arrays["tri_shade_pack"][tri]  # (N, 29)
+    pk = scene_arrays["tri_shade_pack"][tri]  # (N, 30)
     p0, p1, p2 = pk[:, 0:3], pk[:, 3:6], pk[:, 6:9]
     n0, n1, n2 = pk[:, 9:12], pk[:, 12:15], pk[:, 15:18]
     uv0, uv1, uv2 = pk[:, 18:20], pk[:, 20:22], pk[:, 22:24]
@@ -108,7 +110,8 @@ def _surface_point(scene_arrays, hit, org, dirn):
         uv=b0[..., None] * uv0 + b1[..., None] * uv1 + b2[..., None] * uv2,
         mat=pk[:, 27].astype(jnp.int32),
         light_id=pk[:, 28].astype(jnp.int32),
-        t=hit.t, tri=tri,
+        uv_density=pk[:, 29],
+        t=hit.t, tri=tri, fp=fp,
     )
 
 
@@ -270,6 +273,9 @@ def make_sample_step(static, camera, cfg: RenderConfig,
         ls.ltype == lightmod.LT_PORTAL and ls.enabled
         for ls in static.lights
     )
+    from ..cameras.base import pixel_cone
+
+    cone0_s, cone0_w = pixel_cone(camera)
     lane_pix = jnp.arange(n, dtype=jnp.int32) % (h * w)
     lane_k = (jnp.arange(n, dtype=jnp.int32) // (h * w)).astype(jnp.uint32)
     py, px = jnp.divmod(lane_pix, w)
@@ -281,13 +287,15 @@ def make_sample_step(static, camera, cfg: RenderConfig,
         """One path vertex: intersect, add bg/emission (MIS), NEE, sample
         the continuation.  `state` carries the wavefront lanes."""
         (org, dirn, throughput, alive, spec_mask, prev_pdf, medium_sigma,
-         wavelength, L, nrays) = state
+         wavelength, cone_w, cone_spread, L, nrays) = state
         mats = scene_arrays["materials"]
         dyn = not isinstance(bounce_dim, int)
 
         hit = _closest_hit(scene_arrays, static, org, dirn,
                            tmin=jnp.full((n,), static.ray_min_dist,
                                          jnp.float32))
+        # ray-cone footprint at the hit (texture LOD; diffRay_t analog)
+        fp = cone_w + cone_spread * jnp.where(hit.hit, hit.t, 0.0)
         seg = jnp.where(hit.hit, hit.t, 0.0)
         throughput = throughput * jnp.exp(-medium_sigma * seg[..., None])
 
@@ -324,7 +332,7 @@ def make_sample_step(static, camera, cfg: RenderConfig,
         L = L + jnp.where(escape[..., None], throughput * bg, 0.0)
         alive = alive & hit.hit
 
-        sp = _surface_point(scene_arrays, hit, org, dirn)
+        sp = _surface_point(scene_arrays, hit, org, dirn, fp=fp)
         wo = -dirn
         row = gather_rows(mats, sp["mat"])
         if static.textures:
@@ -476,9 +484,17 @@ def make_sample_step(static, camera, cfg: RenderConfig,
         pt = smp["passthrough"]
         spec_mask = jnp.where(pt, spec_mask, smp["specular"])
         prev_pdf = jnp.where(pt, prev_pdf, smp["pdf"])
+        # cone grows at non-specular scatters by the lobe's angular spread
+        # (ray-cone approximation; ~2/sqrt(e+2) for a Blinn-e lobe, 0.6
+        # cap for diffuse where e=0)
+        cone_w = fp
+        lobe_spread = jnp.minimum(0.6, 2.0 * jax.lax.rsqrt(
+            row["exponent"] + 2.0))
+        cone_spread = cone_spread + jnp.where(smp["specular"] | pt, 0.0,
+                                              lobe_spread)
         nrays = nrays + jnp.sum(alive.astype(jnp.float32))
         state = (org, dirn, throughput, alive, spec_mask, prev_pdf,
-                 medium_sigma, wavelength, L, nrays)
+                 medium_sigma, wavelength, cone_w, cone_spread, L, nrays)
         if first:
             # primary-hit attributes for render passes / AOVs (§2.11)
             aux = dict(
@@ -514,6 +530,8 @@ def make_sample_step(static, camera, cfg: RenderConfig,
             jnp.zeros((n,), jnp.float32),  # prev_pdf
             jnp.zeros((n, 3), jnp.float32),  # medium_sigma
             jnp.full((n,), -1.0, jnp.float32),  # wavelength (-1 chromatic)
+            jnp.full((n,), cone0_w, jnp.float32),  # ray-cone width
+            jnp.full((n,), cone0_s, jnp.float32),  # ray-cone spread
             jnp.zeros((n, 3), jnp.float32),  # L
             jnp.sum((active & (wt > 0.0)).astype(jnp.float32)),  # nrays
         )

@@ -444,8 +444,19 @@ class Scene:
             for r in all_lights
         )
 
+        # per-triangle uv density sqrt(uv_area / world_area): converts the
+        # ray-cone world footprint to uv units for mip LOD selection
+        # (reference uses dPdU/dPdV differentials; SURVEY §2.5)
+        uv_e1 = uv[:, 1] - uv[:, 0]
+        uv_e2 = uv[:, 2] - uv[:, 0]
+        uv_area = 0.5 * np.abs(uv_e1[:, 0] * uv_e2[:, 1]
+                               - uv_e1[:, 1] * uv_e2[:, 0])
+        w_area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+        uv_density = np.sqrt(uv_area / np.maximum(w_area, 1e-12))
+
         # packed per-triangle shading attributes: ONE gather per hit instead
-        # of five (pos 9, normal 9, uv 6, geo_n 3, mat 1, light_id 1 = 29)
+        # of six (pos 9, normal 9, uv 6, geo_n 3, mat 1, light_id 1,
+        # uv_density 1 = 30)
         tri_shade_pack = np.concatenate([
             pos.reshape(n_real, 9).astype(np.float32),
             normal.reshape(n_real, 9).astype(np.float32),
@@ -453,6 +464,7 @@ class Scene:
             geo_n.astype(np.float32),
             mat[:, None].astype(np.float32),
             light_id[:, None].astype(np.float32),
+            uv_density[:, None].astype(np.float32),
         ], axis=1)
         # packed winner geometry for the intersector's barycentric recompute
         tri_geom_pack = np.concatenate(
@@ -511,6 +523,11 @@ class Scene:
             if tex.tex_type == "image" and tex.image is not None:
                 arrays[f"tex_{ti}"] = np.ascontiguousarray(
                     tex.image[..., :3], np.float32)
+                if tex.interpolate.startswith("mipmap"):
+                    from ..textures.factory import build_mip_atlas
+
+                    arrays[f"mip_{ti}"] = build_mip_atlas(
+                        tex.image[..., :3])
             elif tex.tex_type == "image":
                 arrays[f"tex_{ti}"] = np.zeros((2, 2, 3), np.float32)
 

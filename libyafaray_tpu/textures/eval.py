@@ -72,6 +72,56 @@ def sample_image_bilinear(img, u, v):
             + (c01 * (1 - fx) + c11 * fx) * fy)
 
 
+def sample_image_nearest(img, u, v):
+    """Nearest-texel sampling (reference interpolate="none")."""
+    h, w = img.shape[0], img.shape[1]
+    x = (jnp.floor((u % 1.0) * w).astype(jnp.int32)) % w
+    y = (jnp.floor((v % 1.0) * h).astype(jnp.int32)) % h
+    return img[y, x]
+
+
+def _bilinear_in_level(atlas, y0, lh, lw, u, v):
+    """Bilinear with repeat wrap inside one atlas sub-rectangle; the
+    level geometry (y0, lh, lw) is PER-LANE (N,) so adjacent lanes can
+    read different mip levels."""
+    x = (u % 1.0) * lw - 0.5
+    y = (v % 1.0) * lh - 0.5
+    x0 = jnp.floor(x)
+    yy0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - yy0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    yy0 = yy0.astype(jnp.int32)
+    x1 = (x0 + 1) % lw
+    y1 = (yy0 + 1) % lh
+    x0 = x0 % lw
+    yy0 = yy0 % lh
+    c00 = atlas[y0 + yy0, x0]
+    c10 = atlas[y0 + yy0, x1]
+    c01 = atlas[y0 + y1, x0]
+    c11 = atlas[y0 + y1, x1]
+    return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+            + (c01 * (1 - fx) + c11 * fx) * fy)
+
+
+def sample_image_trilinear(atlas, levels: tuple, u, v, lod):
+    """Mipmap-trilinear sampling from the vertical atlas (reference
+    imagetex.cc mipmap_trilinear; SURVEY §2.5).  `levels` is the static
+    (y0, h, w) table from factory.mip_level_meta; `lod` (N,) fractional
+    mip level (0 = full res)."""
+    n_lv = len(levels)
+    y0s = jnp.asarray([lv[0] for lv in levels], jnp.int32)
+    hs = jnp.asarray([lv[1] for lv in levels], jnp.int32)
+    ws = jnp.asarray([lv[2] for lv in levels], jnp.int32)
+    lod = jnp.clip(lod, 0.0, float(n_lv - 1))
+    k0 = jnp.floor(lod).astype(jnp.int32)
+    k1 = jnp.minimum(k0 + 1, n_lv - 1)
+    fr = (lod - k0.astype(jnp.float32))[..., None]
+    c0 = _bilinear_in_level(atlas, y0s[k0], hs[k0], ws[k0], u, v)
+    c1 = _bilinear_in_level(atlas, y0s[k1], hs[k1], ws[k1], u, v)
+    return c0 * (1.0 - fr) + c1 * fr
+
+
 def _mapped_coords(static, ti: int, sp):
     """Apply the texture_mapper transform (reference textureMapper_t):
     texco (uv/global/object/orco), scale/offset, and for 3-D coords the
@@ -136,12 +186,16 @@ def apply_color_ramp(val, ramp):
     return out
 
 
-def _sample_image_windowed(img, u, v, win):
+def _sample_image_windowed(img, u, v, win, sampler=None):
     """Image sampling with the imagetex.cc uv window: rot90,
     xrepeat/yrepeat tiling, clipping mode, crop remap.  Outside-window
-    lanes return black for clip/clipcube and for skipped checker tiles."""
+    lanes return black for clip/clipcube and for skipped checker tiles.
+    `sampler(u, v)` overrides the default bilinear lookup (used by the
+    mipmap-trilinear and nearest interpolation modes)."""
+    if sampler is None:
+        sampler = lambda uu, vv: sample_image_bilinear(img, uu, vv)
     if win is None:
-        return sample_image_bilinear(img, u, v)
+        return sampler(u, v)
     xrep, yrep, crop, clip, rot90, even_tiles, odd_tiles = win
     if rot90:
         u, v = v, u
@@ -167,21 +221,51 @@ def _sample_image_windowed(img, u, v, win):
         cx0, cy0, cx1, cy1 = crop
         u = cx0 + u * (cx1 - cx0)
         v = cy0 + v * (cy1 - cy0)
-    out = sample_image_bilinear(img, u, v)
+    out = sampler(u, v)
     if inside is not None:
         out = out * inside[..., None].astype(jnp.float32)
     return out
 
 
 def sample_texture(scene_arrays, static, ti: int, sp):
-    """Evaluate texture `ti` (static) at the surface points. -> (N,3)."""
+    """Evaluate texture `ti` (static) at the surface points. -> (N,3).
+
+    Interpolation (reference imagetex.cc, SURVEY §2.5): bilinear default;
+    "none" = nearest; "mipmap_trilinear" / "mipmap_ewa" use the ray-cone
+    footprint sp["fp"] (world units) × per-triangle uv density to pick a
+    fractional mip level from the precomputed atlas.  EWA currently
+    resolves to trilinear (isotropic cone; anisotropy is a parity gap).
+    """
     spec = static.textures[ti]
     u, v, p3 = _mapped_coords(static, ti, sp)
     ramp = spec[2] if len(spec) > 2 else None
     if spec[0] == "image":
         img = scene_arrays[f"tex_{ti}"]
         win = spec[1] if len(spec) > 1 else None
-        out = _sample_image_windowed(img, u, v, win)
+        interp = spec[3] if len(spec) > 3 else "bilinear"
+        mips = spec[4] if len(spec) > 4 else None
+        sampler = None
+        if interp == "none":
+            sampler = lambda uu, vv: sample_image_nearest(img, uu, vv)
+        elif (interp.startswith("mipmap") and mips is not None
+                and sp.get("fp") is not None
+                and f"mip_{ti}" in scene_arrays):
+            # uv footprint: cone width × triangle uv-per-world density ×
+            # the mapper's uv scale; window tiling folds in statically
+            mappings = getattr(static, "texture_mappings", ())
+            mscale = (mappings[ti][2] if ti < len(mappings)
+                      else (1.0, 1.0, 1.0))
+            s_map = max(abs(mscale[0]), abs(mscale[1]), 1e-6)
+            s_win = 1.0
+            if win is not None:
+                s_win = float(max(abs(win[0]), abs(win[1]), 1))
+            uv_fp = sp["fp"] * sp["uv_density"] * (s_map * s_win)
+            texels = uv_fp * mips[0][2]
+            lod = jnp.log2(jnp.maximum(texels, 1.0))
+            atlas = scene_arrays[f"mip_{ti}"]
+            sampler = lambda uu, vv: sample_image_trilinear(
+                atlas, mips, uu, vv, lod)
+        out = _sample_image_windowed(img, u, v, win, sampler)
     else:
         from .procedural import eval_procedural
 

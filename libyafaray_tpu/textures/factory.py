@@ -58,6 +58,48 @@ def _parse_image_window(params: ParamMap):
             params.get_bool("odd_tiles", False))
 
 
+def mip_level_meta(h: int, w: int) -> tuple:
+    """Static per-level (y0, h, w) offsets of the vertical mip atlas:
+    level 0 at rows [0, h), level k below it at half the previous size.
+    Stops at 1x1 (or when either side hits 1)."""
+    levels = []
+    y0 = 0
+    lh, lw = h, w
+    while True:
+        levels.append((y0, lh, lw))
+        if lh <= 1 or lw <= 1:
+            break
+        y0 += lh
+        lh = max(1, lh // 2)
+        lw = max(1, lw // 2)
+    return tuple(levels)
+
+
+def build_mip_atlas(img: np.ndarray) -> np.ndarray:
+    """(H,W,3) -> vertical atlas (sum of level heights, W, 3): level 0 on
+    top, each further level a 2x2 box-filter downsample (reference
+    imagetex.cc mipmap generation; SURVEY §2.5)."""
+    img = np.asarray(img, np.float32)
+    h, w = img.shape[:2]
+    levels = mip_level_meta(h, w)
+    total_h = levels[-1][0] + levels[-1][1]
+    atlas = np.zeros((total_h, w, img.shape[2]), np.float32)
+    cur = img
+    for (y0, lh, lw) in levels:
+        if cur.shape[0] != lh or cur.shape[1] != lw:
+            # 2x2 box downsample (pad odd dims by edge-clamp)
+            src = cur
+            if src.shape[0] % 2:
+                src = np.concatenate([src, src[-1:]], axis=0)
+            if src.shape[1] % 2:
+                src = np.concatenate([src, src[:, -1:]], axis=1)
+            cur = 0.25 * (src[0::2, 0::2] + src[1::2, 0::2]
+                          + src[0::2, 1::2] + src[1::2, 1::2])
+            cur = cur[:lh, :lw]
+        atlas[y0:y0 + lh, :lw] = cur
+    return atlas
+
+
 @dataclass
 class HostTexture:
     tex_type: str
@@ -69,11 +111,18 @@ class HostTexture:
     @property
     def spec(self) -> tuple:
         """Static, hashable spec for jit specialization
-        (textures/eval.py): ("image", window, ramp) or
-        (type, frozen-params, ramp)."""
+        (textures/eval.py): ("image", window, ramp, interpolate, mips)
+        or (type, frozen-params, ramp).  `mips` is the static atlas
+        level table when interpolate is a mipmap mode, else None."""
         ramp = _parse_ramp(self.params)
         if self.tex_type == "image":
-            return ("image", _parse_image_window(self.params), ramp)
+            mips = None
+            if (self.interpolate.startswith("mipmap")
+                    and self.image is not None):
+                mips = mip_level_meta(self.image.shape[0],
+                                      self.image.shape[1])
+            return ("image", _parse_image_window(self.params), ramp,
+                    self.interpolate, mips)
         frozen = tuple(
             sorted(
                 (k, v) for k, v in self.params.items()

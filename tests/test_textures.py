@@ -202,3 +202,118 @@ def test_ramp_through_scene_compile():
     # ramp output is red<->blue: green stays below red/blue on the sphere
     center = img[4:8, 4:8]
     assert center.mean() > 0.01
+
+
+def test_mip_atlas_and_trilinear():
+    """Mip atlas construction + per-lane fractional level selection
+    (reference imagetex.cc mipmap_trilinear; SURVEY §2.5)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from libyafaray_tpu.textures.factory import (build_mip_atlas,
+                                                 mip_level_meta)
+    from libyafaray_tpu.textures.eval import sample_image_trilinear
+
+    rng = np.random.default_rng(0)
+    img = rng.random((16, 32, 3)).astype(np.float32)
+    levels = mip_level_meta(16, 32)
+    atlas = build_mip_atlas(img)
+    # level 0 is the image itself
+    assert np.array_equal(atlas[:16, :32], img)
+    # level 1 equals the 2x2 box filter
+    l1 = 0.25 * (img[0::2, 0::2] + img[1::2, 0::2]
+                 + img[0::2, 1::2] + img[1::2, 1::2])
+    y0, h1, w1 = levels[1]
+    assert np.allclose(atlas[y0:y0 + h1, :w1], l1, atol=1e-6)
+    # last level is the global mean (box-filter chain)
+    yl, hl, wl = levels[-1]
+    assert hl == 1
+    assert np.allclose(atlas[yl, :wl].mean(axis=0), img.mean(axis=(0, 1)),
+                       atol=5e-2)
+
+    # lod=0 reproduces bilinear on level 0; integer lod k samples level k
+    n = 64
+    u = jnp.asarray(rng.random(n), jnp.float32)
+    v = jnp.asarray(rng.random(n), jnp.float32)
+    from libyafaray_tpu.textures.eval import sample_image_bilinear
+    out0 = sample_image_trilinear(jnp.asarray(atlas), levels, u, v,
+                                  jnp.zeros(n))
+    ref0 = sample_image_bilinear(jnp.asarray(img), u, v)
+    assert np.allclose(np.asarray(out0), np.asarray(ref0), atol=1e-6)
+    out1 = sample_image_trilinear(jnp.asarray(atlas), levels, u, v,
+                                  jnp.ones(n))
+    ref1 = sample_image_bilinear(jnp.asarray(l1), u, v)
+    assert np.allclose(np.asarray(out1), np.asarray(ref1), atol=1e-6)
+    # fractional lod blends adjacent levels
+    outh = sample_image_trilinear(jnp.asarray(atlas), levels, u, v,
+                                  jnp.full(n, 0.5))
+    assert np.allclose(np.asarray(outh),
+                       0.5 * (np.asarray(out0) + np.asarray(out1)),
+                       atol=1e-6)
+    # beyond-last lod clamps to the coarsest level (1x2 here) whose mean
+    # is the global image mean
+    outl = sample_image_trilinear(jnp.asarray(atlas), levels, u, v,
+                                  jnp.full(n, 99.0))
+    assert np.allclose(np.asarray(outl).mean(axis=0),
+                       img.mean(axis=(0, 1)), atol=5e-2)
+
+
+def test_mipmap_lod_selection_in_scene():
+    """A mipmap-enabled textured floor seen at increasing distance reads
+    coarser mip levels: with a checker texture whose global mean is gray,
+    far pixels must converge toward gray while near pixels keep contrast."""
+    import numpy as np
+    from libyafaray_tpu.scene.scene import Scene
+    from libyafaray_tpu.scene.params import ParamMap
+    from libyafaray_tpu.scene.session import render_scene
+    import libyafaray_tpu.textures.factory as tf
+
+    # fine checker: 64x64 with 2-px squares -> aliases hard without mips
+    c = (np.indices((64, 64)).sum(axis=0) // 2 % 2).astype(np.float32)
+    img = np.stack([c, c, c], axis=-1)
+
+    def scene(interp):
+        s = Scene()
+        s.create_texture("t", ParamMap({"type": "image",
+                                        "interpolate": interp}))
+        list(s.textures.values())[0].image = img
+        list(s.textures.values())[0].interpolate = interp
+        s.create_material("m", ParamMap({
+            "type": "shinydiffusemat", "color": (1.0, 1.0, 1.0),
+            "diffuse_reflect": 1.0, "diffuse_shader": "map0"}))
+        # wire texture slot directly (mapper machinery tested elsewhere)
+        s.materials[s.material_names["m"]]["tex_diffuse"] = 0
+        # floor quad far along +y; uv tiles 20x over 200 world units so
+        # the checker period (~0.6 world units) is sub-pixel beyond
+        # t ~ 20 -> genuinely under-sampled without mips
+        s.start_tri_mesh(0, has_uv=True)
+        uvs = [(0, 0), (20, 0), (20, 20), (0, 20)]
+        for (x, y) in [(-100, 1), (100, 1), (100, 201), (-100, 201)]:
+            s.add_vertex(float(x), float(y), 0.0)
+        for (uu, vv) in uvs:
+            s.add_uv(float(uu), float(vv))
+        s.add_triangle(0, 1, 2, "m", 0, 1, 2)
+        s.add_triangle(0, 2, 3, "m", 0, 2, 3)
+        s.end_tri_mesh()
+        s.create_background("bg", ParamMap({
+            "type": "constant", "color": (1.0, 1.0, 1.0), "ibl": True,
+            "ibl_samples": 4}))
+        s.create_camera("cam", ParamMap({
+            "type": "perspective", "resx": 32, "resy": 32,
+            "from": (0.0, 0.0, 2.0), "to": (0.0, 30.0, 0.0),
+            "up": (0.0, 0.0, 3.0), "focal": 1.0,
+        }))
+        s.create_integrator("default", ParamMap({
+            "type": "directlighting", "raydepth": 1}))
+        s.render_params = ParamMap({
+            "width": 32, "height": 32, "AA_minsamples": 8,
+            "integrator_name": "default", "camera_name": "cam"})
+        return s
+
+    img_tri = render_scene(scene("mipmap_trilinear")).image
+    # horizon sits around row 14; rows just below see tiny distant
+    # checker squares (high mip level -> near-uniform gray), bottom rows
+    # see large squares (low level -> contrast preserved)
+    far = img_tri[16:19, :, 0]
+    near = img_tri[28:31, :, 0]
+    assert far.std() < 0.08, (far.std(), far.mean())
+    assert near.std() > 2.0 * far.std(), (near.std(), far.std())
