@@ -22,16 +22,29 @@ PASS_SOURCES = {
     "uv": ("uv", 2),
     "mat-index-abs": ("mat_index", 1),
     "mat-index-norm": ("mat_index", 1),
+    "mat-index-auto": ("mat_index", 1),
+    "mat-index-mask": ("mat_index", 1),
     "obj-index-abs": ("obj_index", 1),
     "obj-index-norm": ("obj_index", 1),
+    "obj-index-auto": ("obj_index", 1),
+    "obj-index-mask": ("obj_index", 1),
     "diffuse-color": ("diffuse_color", 3),
     "emit": ("emit", 3),
     "direct": ("direct", 3),
+    "diffuse-direct": ("direct", 3),
+    "ao": ("ao", 3),
+    "ao-clay": ("ao", 3),
+    "shadow": ("shadow", 1),
+    "reflect": ("reflect", 3),
+    "refract": ("refract", 3),
+    "debug-nu": ("nu", 3),
+    "debug-nv": ("nv", 3),
 }
 
 # post-processed passes computed from other planes at flush (reference's
-# toon & object-edge passes are film post-filters — SURVEY §2.11)
-POST_PASSES = ("edge", "toon")
+# toon & object-edge passes are film post-filters; diffuse-indirect /
+# indirect decompose combined - direct - emit - specular — SURVEY §2.11)
+POST_PASSES = ("edge", "toon", "indirect", "diffuse-indirect")
 PASS_NAMES = tuple(PASS_SOURCES) + POST_PASSES
 
 
@@ -39,9 +52,14 @@ def film_add_passes(film: dict, h: int, w: int, passes: tuple) -> dict:
     """Allocate the accumulation planes needed by the requested passes."""
     need: dict[str, int] = {}
     for p in passes:
-        if p in POST_PASSES:  # edge/toon need normals + z
+        if p in ("edge", "toon"):  # edge/toon need normals + z
             need["normal"] = 3
             need["z"] = 1
+        if p in ("indirect", "diffuse-indirect"):
+            need["direct"] = 3
+            need["emit"] = 3
+            need["reflect"] = 3
+            need["refract"] = 3
         if p in PASS_SOURCES:
             src, ch = PASS_SOURCES[p]
             need[src] = ch
@@ -70,9 +88,37 @@ def extract_passes(film: dict, passes: tuple) -> dict:
         elif p in ("mat-index-norm", "obj-index-norm"):
             m = plane.max() or 1.0
             plane = plane / m
+        elif p in ("mat-index-auto", "obj-index-auto"):
+            # reference auto-color: a stable pseudo-random color per index
+            idx = np.round(plane[..., 0]).astype(np.uint32)
+            h32 = (idx * np.uint32(2654435761)) & np.uint32(0xFFFFFF)
+            plane = np.stack([(h32 >> 16) & 0xFF, (h32 >> 8) & 0xFF,
+                              h32 & 0xFF], axis=-1) / 255.0
+        elif p in ("mat-index-mask", "obj-index-mask"):
+            # binary mask of index 0 by default (reference pass_mask_*
+            # params select others; the plane stays composable)
+            plane = (np.round(plane) == 0.0).astype(np.float32)
+        elif p == "ao-clay":
+            # AO on a white clay material: drop the surface color by
+            # using the luminance only
+            lum = plane.mean(axis=-1, keepdims=True)
+            plane = np.repeat(lum, 3, axis=-1)
         out[p] = plane.astype(np.float32)
     for p in passes:
-        if p not in POST_PASSES:
+        if p in ("indirect", "diffuse-indirect"):
+            # decomposition at flush: combined - direct - emit - specular
+            # (clamped; indirect = everything that bounced at least once
+            # on a non-specular chain)
+            img = np.asarray(film["wsum"]) / np.maximum(
+                np.asarray(film["w"]), 1e-8)[..., None]
+            sub = np.zeros_like(img)
+            for src in ("direct", "emit", "reflect", "refract"):
+                key = f"aov_{src}"
+                if key in film:
+                    sub = sub + np.asarray(film[key]) / ns
+            out[p] = np.clip(img - sub, 0.0, None).astype(np.float32)
+            continue
+        if p not in ("edge", "toon"):
             continue
         ns2 = np.maximum(np.asarray(film["nsamples"], np.float32), 1.0)
         nrm = np.asarray(film["aov_normal"]) / ns2[..., None]

@@ -168,8 +168,14 @@ def _direct_lighting(scene_arrays, static, cfg, sp, row, wo, n_f,
     mis_with_bsdf=False -> single-strategy NEE (weight 1): required when the
     caller never evaluates the BSDF-sample counterpart (directlighting mode
     kills non-specular continuations, so MIS weights would silently drop
-    that share of the energy)."""
+    that share of the energy).
+
+    Returns (L, n_shadow_rays, shadow_mean) — shadow_mean is the average
+    shadow-ray transmission luminance over all samples (the "shadow"
+    render pass, reference renderpasses.cc)."""
     L = jnp.zeros_like(sp["p"])
+    sh_sum = jnp.zeros(sp["p"].shape[:1], jnp.float32)
+    sh_cnt = 0
     nrays = 0
     dyn = not isinstance(bounce_dim, int)
     dim_u = bounce_dim + qmc.SLOT_LIGHT_U
@@ -183,6 +189,8 @@ def _direct_lighting(scene_arrays, static, cfg, sp, row, wo, n_f,
         skey_l = qmc.hash_combine(skey, jnp.uint32(0xABCD01 + 131 * li))
 
         def one_sample(s):
+            from ..core.color import luminance as _lum
+
             sub_idx = s_idx * ns + s
             if dyn:
                 u1 = qmc.dynamic_sample_dim(sub_idx, dim_u, skey_l)
@@ -213,20 +221,25 @@ def _direct_lighting(scene_arrays, static, cfg, sp, row, wo, n_f,
                                          families=static.mat_families)
                 w = power_heuristic(smp["pdf"], bpdf)
                 term = term * w[..., None]
-            return jnp.where(ok[..., None], term, 0.0)
+            return jnp.where(ok[..., None], term, 0.0), _lum(tr)
 
         if ns == 1:
-            accum = one_sample(jnp.uint32(0))
+            accum, sh_acc = one_sample(jnp.uint32(0))
         else:
             def body(carry, s):
-                return carry + one_sample(s), None
+                ca, cs = carry
+                t, sh = one_sample(s)
+                return (ca + t, cs + sh), None
 
-            accum, _ = lax.scan(body, jnp.zeros_like(L),
-                                jnp.arange(ns, dtype=jnp.uint32))
+            (accum, sh_acc), _ = lax.scan(
+                body, (jnp.zeros_like(L), jnp.zeros_like(sh_sum)),
+                jnp.arange(ns, dtype=jnp.uint32))
         if ls.cast_shadows:
             nrays += ns
         L = L + accum / ns
-    return L, nrays
+        sh_sum = sh_sum + sh_acc / ns
+        sh_cnt += 1
+    return L, nrays, sh_sum / max(sh_cnt, 1)
 
 
 def _ambient_occlusion(scene_arrays, static, cfg, sp, row, wo, n_f,
@@ -287,7 +300,17 @@ def make_sample_step(static, camera, cfg: RenderConfig,
         """One path vertex: intersect, add bg/emission (MIS), NEE, sample
         the continuation.  `state` carries the wavefront lanes."""
         (org, dirn, throughput, alive, spec_mask, prev_pdf, medium_sigma,
-         wavelength, cone_w, cone_spread, L, nrays) = state
+         wavelength, cone_w, cone_spread, tag, L_refl, L_refr, L,
+         nrays) = state
+
+        def addL(Lt, Lr1, Lr2, x, mask):
+            # tagged accumulation for the reflect/refract render passes:
+            # contributions arriving through a bounce-0 specular reflect
+            # (tag 1) / transmit (tag 2) chain also land in their plane
+            x = jnp.where(mask[..., None], x, 0.0)
+            return (Lt + x,
+                    Lr1 + jnp.where((tag == 1)[..., None], x, 0.0),
+                    Lr2 + jnp.where((tag == 2)[..., None], x, 0.0))
         mats = scene_arrays["materials"]
         dyn = not isinstance(bounce_dim, int)
 
@@ -329,7 +352,8 @@ def make_sample_step(static, camera, cfg: RenderConfig,
             # portal NEE is the sole background strategy at non-specular
             # vertices (see lights/factory.py bgPortalLight note)
             bg = bg * jnp.where(spec_mask, 1.0, 0.0)[..., None]
-        L = L + jnp.where(escape[..., None], throughput * bg, 0.0)
+        L, L_refl, L_refr = addL(L, L_refl, L_refr, throughput * bg,
+                                 escape)
         alive = alive & hit.hit
 
         sp = _surface_point(scene_arrays, hit, org, dirn, fp=fp)
@@ -376,8 +400,9 @@ def make_sample_step(static, camera, cfg: RenderConfig,
             power_heuristic(prev_pdf, pdf_light_hit),
             1.0,
         )
-        L = L + jnp.where(alive[..., None],
-                          throughput * emit * mis_w[..., None], 0.0)
+        L, L_refl, L_refr = addL(L, L_refl, L_refr,
+                                 throughput * emit * mis_w[..., None],
+                                 alive)
 
         # ---- shading frame ----
         backface = vmath.dot(sp["ng"], wo) < 0.0
@@ -392,7 +417,7 @@ def make_sample_step(static, camera, cfg: RenderConfig,
             skey_b = qmc.hash_combine(pixel_hash, jnp.uint32(bounce_idx))
 
         # ---- NEE ----
-        Ld, sh_rays = _direct_lighting(
+        Ld, sh_rays, shadow_mean = _direct_lighting(
             scene_arrays, static, cfg, sp_sh, row, wo, ng_sh,
             s_idx, skey_b, bounce_dim, 1 if first else 0,
             mis_with_bsdf=(mode == "path"),
@@ -402,12 +427,17 @@ def make_sample_step(static, camera, cfg: RenderConfig,
             Ld = Ld * jnp.where(
                 m > cfg.aa_clamp_indirect,
                 cfg.aa_clamp_indirect / jnp.maximum(m, 1e-9), 1.0)
-        L = L + jnp.where(alive[..., None], throughput * Ld, 0.0)
+        L, L_refl, L_refr = addL(L, L_refl, L_refr, throughput * Ld,
+                                 alive)
         nrays = nrays + sh_rays * jnp.sum(alive.astype(jnp.float32))
 
-        if cfg.do_ao and mode == "direct" and first:
+        ao = None
+        want_ao_pass = first and any(
+            p in cfg.passes for p in ("ao", "ao-clay"))
+        if (cfg.do_ao and mode == "direct" and first) or want_ao_pass:
             ao = _ambient_occlusion(scene_arrays, static, cfg, sp_sh,
                                     row, wo, ng_sh, s_idx, skey_b)
+        if cfg.do_ao and mode == "direct" and first:
             L = L + jnp.where(alive[..., None], throughput * ao, 0.0)
 
         if caustic is not None and first:
@@ -428,8 +458,9 @@ def make_sample_step(static, camera, cfg: RenderConfig,
                    * row["diffuse_color"] * _INV_PI)
             mt_ = row["mtype"]
             is_diff = (mt_ == _MTS) | (mt_ == _MTG) | (mt_ == _MTC)
-            L = L + jnp.where((alive & is_diff)[..., None],
-                              throughput * f_c * lc, 0.0)
+            L, L_refl, L_refr = addL(L, L_refl, L_refr,
+                                     throughput * f_c * lc,
+                                     alive & is_diff)
 
         # ---- continuation ----
         if dyn:
@@ -492,11 +523,20 @@ def make_sample_step(static, camera, cfg: RenderConfig,
             row["exponent"] + 2.0))
         cone_spread = cone_spread + jnp.where(smp["specular"] | pt, 0.0,
                                               lobe_spread)
+        if first:
+            # reflect/refract pass routing: tag paths by the bounce-0
+            # specular continuation kind
+            tag = jnp.where(
+                alive & smp["specular"] & ~smp["transmit"], 1,
+                jnp.where(alive & smp["specular"] & smp["transmit"], 2, 0),
+            ).astype(jnp.int32)
         nrays = nrays + jnp.sum(alive.astype(jnp.float32))
         state = (org, dirn, throughput, alive, spec_mask, prev_pdf,
-                 medium_sigma, wavelength, cone_w, cone_spread, L, nrays)
+                 medium_sigma, wavelength, cone_w, cone_spread, tag,
+                 L_refl, L_refr, L, nrays)
         if first:
             # primary-hit attributes for render passes / AOVs (§2.11)
+            tu_dbg, tv_dbg = vmath.build_onb(n_sh)
             aux = dict(
                 z=jnp.where(hit.hit, hit.t, 0.0),
                 normal=jnp.where(hit.hit[..., None], n_sh, 0.0),
@@ -508,7 +548,14 @@ def make_sample_step(static, camera, cfg: RenderConfig,
                                         row["diffuse_color"], 0.0),
                 emit=jnp.where(alive[..., None], emit, 0.0),
                 direct=jnp.where(alive[..., None], Ld, 0.0),
+                shadow=jnp.where(alive, shadow_mean, 1.0),
+                # NU/NV debug: the shading tangent frame (reference
+                # DebugIntegrator dPdU/dPdV role; ONB stand-in)
+                nu=jnp.where(hit.hit[..., None], tu_dbg, 0.0),
+                nv=jnp.where(hit.hit[..., None], tv_dbg, 0.0),
             )
+            if ao is not None:
+                aux["ao"] = jnp.where(alive[..., None], ao, 0.0)
             return state, aux
         return state
 
@@ -532,6 +579,9 @@ def make_sample_step(static, camera, cfg: RenderConfig,
             jnp.full((n,), -1.0, jnp.float32),  # wavelength (-1 chromatic)
             jnp.full((n,), cone0_w, jnp.float32),  # ray-cone width
             jnp.full((n,), cone0_s, jnp.float32),  # ray-cone spread
+            jnp.zeros((n,), jnp.int32),  # reflect/refract pass tag
+            jnp.zeros((n, 3), jnp.float32),  # L via bounce-0 reflect
+            jnp.zeros((n, 3), jnp.float32),  # L via bounce-0 refract
             jnp.zeros((n, 3), jnp.float32),  # L
             jnp.sum((active & (wt > 0.0)).astype(jnp.float32)),  # nrays
         )
@@ -555,6 +605,10 @@ def make_sample_step(static, camera, cfg: RenderConfig,
 
         L = state[-2] * wt[..., None]
         nrays = state[-1]
+        # reflect/refract pass planes: contributions routed through the
+        # bounce-0 specular chains, accumulated across the whole scan
+        aux["reflect"] = state[-4] * wt[..., None]
+        aux["refract"] = state[-3] * wt[..., None]
         Ls = L.reshape(spb, h, w, 3)
         dxs = dx.reshape(spb, h, w)
         dys = dy.reshape(spb, h, w)

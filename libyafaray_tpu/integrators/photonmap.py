@@ -102,9 +102,15 @@ def build_caustic_map(cscene, cfg: RenderConfig, arrays):
     return pack, c_radius, lanes
 
 
-def build_photon_maps(cscene, cfg: RenderConfig, arrays):
+def build_photon_maps(cscene, cfg: RenderConfig, arrays, mesh=None):
     """Shoot diffuse + caustic maps; returns (diffuse_pack, caustic_pack,
-    radiance_pack, n_diffuse_emitted, n_caustic_emitted)."""
+    radiance_pack, n_diffuse_emitted, n_caustic_emitted).
+
+    mesh: optional jax.sharding.Mesh — photon shooting is sharded over the
+    lane axis (SURVEY §5.8 photon transport): every device computes its
+    slice of the SAME logical lane set (per-lane QMC streams are
+    lane-id-keyed), so the map is bitwise identical to single-device; the
+    host-side compaction gather doubles as the all-gather."""
     static = cscene.static
     cdf, total_flux = _light_cdf(static, arrays)
     cdf_j = jnp.asarray(cdf)
@@ -124,8 +130,21 @@ def build_photon_maps(cscene, cfg: RenderConfig, arrays):
         lanes = min(MAX_PHOTON_LANES,
                     max(4096, -(-n_req // 4096) * 4096))
         n_passes = max(1, int(np.ceil(n_req / lanes)))
-        shoot = jax.jit(make_photon_pass(
-            static, cfg, lanes, cfg.photon_bounces, mode))
+        shoot_fn = make_photon_pass(
+            static, cfg, lanes, cfg.photon_bounces, mode)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            lane_sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+            shoot = jax.jit(
+                shoot_fn,
+                out_shardings=jax.tree.map(lambda _: lane_sh,
+                                           jax.eval_shape(
+                                               shoot_fn, arrays, cdf_j,
+                                               total_flux, jnp.uint32(0))),
+            )
+        else:
+            shoot = jax.jit(shoot_fn)
         recs = []
         for p in range(n_passes):
             recs.append(shoot(arrays, cdf_j, total_flux,
@@ -191,14 +210,18 @@ def build_photon_maps(cscene, cfg: RenderConfig, arrays):
 LANE_CHUNK = 1 << 14
 
 
-def make_photon_sample_step(cscene, cfg: RenderConfig, grids):
+def make_photon_sample_step(cscene, cfg: RenderConfig, grids, mesh=None):
     """One-sample-per-pixel step: engine-style primary/specular transport,
     then photon-based indirect at the first diffuse hit.
 
     The photon packs ride inside the `arrays` jit argument (keys
     pm_diffuse/pm_caustic/pm_radiance, installed by render_photonmap) —
     closing over them would bake them into the HLO as literals and blow
-    up Mosaic compile time (see ops/photon_flash)."""
+    up Mosaic compile time (see ops/photon_flash).
+
+    mesh: optional Mesh — film rows sharded, scene + photon packs
+    replicated; the whole film shades in ONE jitted call (no host band
+    loop) and XLA partitions the lane-parallel work (SURVEY §5.8)."""
     diffuse_pack, caustic_pack, radiance_pack, n_em_d, n_em_c = grids
     has_diffuse = diffuse_pack is not None
     has_caustic = caustic_pack is not None
@@ -317,7 +340,7 @@ def make_photon_sample_step(cscene, cfg: RenderConfig, grids):
         if not show_map:
             # direct light (NEE, full sample counts; per-lane dim base
             # routes through the traced-dim hash sampler)
-            Ld, sh_rays = _direct_lighting(
+            Ld, sh_rays, _ = _direct_lighting(
                 arrays, static, cfg, sp_sh, row, hp_wo, hp_ng, s_idx,
                 hp_skey, hp_bdim.astype(jnp.int32), 1, mis_with_bsdf=False,
             )
@@ -389,6 +412,28 @@ def make_photon_sample_step(cscene, cfg: RenderConfig, grids):
                           clamp_samples=cfg.aa_clamp_samples)
         return dict(film, rays=film.get("rays", 0.0) + nrays)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import film_sharding
+
+        axis = mesh.axis_names[0]
+        repl = NamedSharding(mesh, P())
+        fs = film_sharding(mesh, axis)
+
+        def sample_step(arrays, film, flags):
+            s_idx = film["nsamples"].reshape(-1).astype(jnp.uint32)
+            L, dx, dy, nrays = shade_lanes(arrays, s_idx, px, py,
+                                           pixel_hash, flags.reshape(-1))
+            return splat(film, L, dx, dy, flags, nrays)
+
+        out_sh = {k: fs.get(k, repl) for k in
+                  ("wsum", "w", "nsamples", "flags", "rays")}
+        return jax.jit(
+            sample_step,
+            in_shardings=(repl, out_sh, NamedSharding(mesh, P(axis, None))),
+            out_shardings=out_sh, donate_argnums=(1,))
+
     if n <= LANE_CHUNK:
         def sample_step(arrays, film, flags):
             s_idx = film["nsamples"].reshape(-1).astype(jnp.uint32)
@@ -428,12 +473,18 @@ def make_photon_sample_step(cscene, cfg: RenderConfig, grids):
     return sample_step
 
 
-def render_photonmap(cscene, cfg: RenderConfig, progress_cb=None):
+def render_photonmap(cscene, cfg: RenderConfig, progress_cb=None,
+                     mesh=None):
     import time as _t
 
-    arrays = device_put_scene(cscene)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        arrays = jax.device_put(cscene.arrays, NamedSharding(mesh, P()))
+    else:
+        arrays = device_put_scene(cscene)
     t0 = _t.perf_counter()
-    grids = build_photon_maps(cscene, cfg, arrays)
+    grids = build_photon_maps(cscene, cfg, arrays, mesh=mesh)
     diffuse_pack, caustic_pack, radiance_pack = grids[:3]
     arrays = dict(arrays)
     if diffuse_pack is not None:
@@ -443,12 +494,20 @@ def render_photonmap(cscene, cfg: RenderConfig, progress_cb=None):
     if radiance_pack is not None:
         arrays["pm_radiance"] = radiance_pack
     # make_photon_sample_step returns an already-jitted step (possibly a
-    # host-level band loop — see LANE_CHUNK)
-    step_j = make_photon_sample_step(cscene, cfg, grids)
+    # host-level band loop — see LANE_CHUNK; one sharded call under mesh)
+    step_j = make_photon_sample_step(cscene, cfg, grids, mesh=mesh)
 
     film = film_init(cfg.height, cfg.width)
     film["rays"] = jnp.zeros((), jnp.float32)
     flags = jnp.ones((cfg.height, cfg.width), jnp.bool_)
+    if mesh is not None:
+        from ..parallel.mesh import film_sharding
+
+        fs = film_sharding(mesh, mesh.axis_names[0])
+        film = {k: jax.device_put(v, fs.get(
+            k, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())))
+            for k, v in film.items()}
+        flags = jax.device_put(flags, fs["flags"])
     from ..film.imagefilm import compute_aa_flags
 
     t1 = _t.perf_counter()

@@ -102,7 +102,7 @@ def make_eye_pass(cscene, cfg: RenderConfig):
 
             bdim = qmc.bounce_dim(bounce, 0)
             skey_b = qmc.hash_combine(pixel_hash, jnp.uint32(bounce))
-            Ld, sh_rays = _direct_lighting(arrays, static, cfg, sp_sh, row,
+            Ld, sh_rays, _ = _direct_lighting(arrays, static, cfg, sp_sh, row,
                                            wo, ng_sh, s_idx, skey_b, bdim, 1,
                                            mis_with_bsdf=False)
             L = L + jnp.where(here[..., None], throughput * Ld, 0.0)
@@ -160,8 +160,20 @@ def flux_update(hitpoints, pack, r2, n_acc, tau, alpha: float):
     return r2_new, n_new, tau_new
 
 
-def render_sppm(cscene, cfg: RenderConfig, progress_cb=None):
-    arrays = device_put_scene(cscene)
+def render_sppm(cscene, cfg: RenderConfig, progress_cb=None, mesh=None):
+    """mesh: optional Mesh — hitpoints/film sharded by pixel rows, photon
+    shooting sharded by lane, photon pack replicated (the all-gather rides
+    the host compaction); every jit below inherits the placements via
+    GSPMD propagation (SURVEY §5.8)."""
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        _axis = mesh.axis_names[0]
+        _repl = NamedSharding(mesh, P())
+        _vec = NamedSharding(mesh, P(_axis))
+        arrays = jax.device_put(cscene.arrays, _repl)
+    else:
+        arrays = device_put_scene(cscene)
     static = cscene.static
     h, w = cfg.height, cfg.width
     n = h * w
@@ -183,12 +195,21 @@ def render_sppm(cscene, cfg: RenderConfig, progress_cb=None):
     # 'indirect' mode: the eye pass already adds NEE direct light at every
     # stored hitpoint, so bounce-0 photons (arriving straight from the
     # light) must NOT enter the SPPM map or direct light is counted twice
-    shoot = jax.jit(make_photon_pass(static, cfg, lanes,
-                                     cfg.photon_bounces, "indirect"))
+    shoot_fn = make_photon_pass(static, cfg, lanes,
+                                cfg.photon_bounces, "indirect")
+    if mesh is not None:
+        shoot = jax.jit(
+            shoot_fn,
+            out_shardings=jax.tree.map(
+                lambda _: _vec,
+                jax.eval_shape(shoot_fn, arrays, cdf_j, total_flux,
+                               jnp.uint32(0))))
+    else:
+        shoot = jax.jit(shoot_fn)
     update_1 = jax.jit(flux_update, static_argnames=("alpha",))
     from .photonmap import LANE_CHUNK
 
-    if n <= LANE_CHUNK:
+    if n <= LANE_CHUNK or mesh is not None:
         update_j = update_1
     else:
         # bound the (BQ-blocked) flux-transfer working set — run in
@@ -207,6 +228,15 @@ def render_sppm(cscene, cfg: RenderConfig, progress_cb=None):
     r2 = jnp.full((n,), r0 * r0, jnp.float32)
     n_acc = jnp.zeros((n,), jnp.float32)
     tau = jnp.zeros((n, 3), jnp.float32)
+    if mesh is not None:
+        from ..parallel.mesh import film_sharding
+
+        fs = film_sharding(mesh, _axis)
+        film = {k: jax.device_put(v, fs.get(k, _repl))
+                for k, v in film.items()}
+        r2 = jax.device_put(r2, _vec)
+        n_acc = jax.device_put(n_acc, _vec)
+        tau = jax.device_put(tau, _vec)
     n_emitted_total = 0
 
     t1 = time.perf_counter()

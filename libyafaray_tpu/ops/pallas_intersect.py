@@ -83,23 +83,36 @@ def morton_order(v0, e1, e2):
     return np.argsort(code, kind="stable")
 
 
+def _pick_bt(t: int) -> int:
+    """Cluster width: small scenes use narrow tiles so a 32-tri Cornell
+    isn't padded to a 512-wide sweep (the lane waste was a measured 16x
+    on the benchmark box)."""
+    for bt in (128, 256):
+        if t <= bt * 2:
+            return bt
+    return BT
+
+
 def build_tri_pack(v0, e1, e2, order=None):
     """Host-side pack build: (10, T') triangle rows + (8, C) cluster AABBs.
 
     order: optional spatial permutation (e.g. accel.bvh tri_order); row 9
     carries the ORIGINAL triangle index so kernel output needs no remap
     gather.  Padded triangles are degenerate (det=0) and their clusters
-    get inverted (never-hit) boxes.
+    get inverted (never-hit) boxes.  The cluster width (pack_T //
+    n_clusters) is chosen per scene; the kernels read it back from the
+    array shapes.
     """
     v0 = np.asarray(v0, np.float32)
     e1 = np.asarray(e1, np.float32)
     e2 = np.asarray(e2, np.float32)
     t = v0.shape[0]
+    bt = _pick_bt(t)
     if order is None:
         order = np.arange(t)
     order = np.asarray(order)
     v0o, e1o, e2o = v0[order], e1[order], e2[order]
-    pad = (-t) % BT
+    pad = (-t) % bt
     if pad:
         z = np.zeros((pad, 3), np.float32)
         v0o = np.concatenate([v0o, z])
@@ -110,14 +123,14 @@ def build_tri_pack(v0, e1, e2, order=None):
     pack10 = np.concatenate(
         [v0o.T, e1o.T, e2o.T, order[None, :].astype(np.float32)], axis=0)
     # per-cluster AABBs over REAL triangles only
-    n_cl = tp // BT
+    n_cl = tp // bt
     cl = np.empty((8, n_cl), np.float32)
     cl[6:] = 0.0
     p1 = v0o + e1o
     p2 = v0o + e2o
-    lo = np.minimum(np.minimum(v0o, p1), p2).reshape(n_cl, BT, 3)
-    hi = np.maximum(np.maximum(v0o, p1), p2).reshape(n_cl, BT, 3)
-    real = (np.arange(tp) < t).reshape(n_cl, BT)
+    lo = np.minimum(np.minimum(v0o, p1), p2).reshape(n_cl, bt, 3)
+    hi = np.maximum(np.maximum(v0o, p1), p2).reshape(n_cl, bt, 3)
+    real = (np.arange(tp) < t).reshape(n_cl, bt)
     for c in range(n_cl):
         m = real[c]
         if m.any():
@@ -213,13 +226,17 @@ def _closest_kernel(tri_ref, cl_ref, org_ref, dir_ref, inv_ref, tlim_ref,
         v_out[:] = jnp.where(better, v_sel, v_out[:])
 
 
-def _shadow_kernel(tri_ref, cl_ref, filt_ref, org_ref, dir_ref, inv_ref,
-                   dist_ref, tr_out):
+def _shadow_kernel(tri_ref, cl_ref, logf_ref, org_ref, dir_ref, inv_ref,
+                   dist_ref, lg_out):
+    """Accumulates LOG transmission (the wrapper exps once per ray):
+    per-pair work is one multiply-add against the PRECOMPUTED per-tri
+    log-filter row — per-pair log/exp transcendentals cost a measured
+    ~5x on the VPU (Mosaic has no reduce_prod to do it directly)."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
-        tr_out[:] = jnp.ones_like(tr_out)
+        lg_out[:] = jnp.zeros_like(lg_out)
 
     dist = dist_ref[:, 0:1]
     tmin = 5e-4
@@ -231,17 +248,13 @@ def _shadow_kernel(tri_ref, cl_ref, filt_ref, org_ref, dir_ref, inv_ref,
     def _():
         t, _, _, ok = _mt_tile(tri_ref, org_ref, dir_ref)
         okf = (ok & (t > tmin) & (t < tmax)).astype(jnp.float32)
-        # per-channel transmission product over this triangle cluster,
-        # as exp-sum-log (Mosaic has no reduce_prod); opaque hits drive
-        # the sum to ~-3e31 and exp underflows to exactly 0
-        tr = tr_out[:]
+        lg = lg_out[:]
         cols = []
         for c in range(3):
-            fc = filt_ref[c:c + 1, :]                          # (1, BT)
-            lg = okf * jnp.log(jnp.maximum(1.0 - okf * (1.0 - fc), 1e-30))
-            factor = jnp.exp(jnp.sum(lg, axis=1, keepdims=True))
-            cols.append(tr[:, c:c + 1] * factor)
-        tr_out[:] = jnp.concatenate(cols, axis=1)
+            acc = jnp.sum(okf * logf_ref[c:c + 1, :], axis=1,
+                          keepdims=True)                       # (BQ, 1)
+            cols.append(lg[:, c:c + 1] + acc)
+        lg_out[:] = jnp.concatenate(cols, axis=1)
 
 
 def _pad_rays(cols):
@@ -296,7 +309,9 @@ def closest_hit_pallas(tri_pack10, cluster8, org, dirn, tmin, tmax,
                        n_tris: int):
     """tri_pack10: (10, T) f32 (v0|e1|e2|orig_id); cluster8 (8, T//BT);
     org/dirn (N,3).  Returns (t, tri, u, v, hit) — tri in ORIGINAL ids."""
-    sort = tri_pack10.shape[1] // BT >= SORT_MIN_CLUSTERS
+    n_cl = cluster8.shape[1]
+    bt = tri_pack10.shape[1] // n_cl
+    sort = n_cl >= SORT_MIN_CLUSTERS
     if sort:
         perm, unperm = _ray_sort_perm(org, dirn)
         ray_pack = jnp.concatenate(
@@ -305,14 +320,14 @@ def closest_hit_pallas(tri_pack10, cluster8, org, dirn, tmin, tmax,
         tmin, tmax = ray_pack[:, 6], ray_pack[:, 7]
     (org_p, dir_p, inv_p, tlim), n = _pad_rays(
         [org, dirn, _inv_dir(dirn), jnp.stack([tmin, tmax], axis=1)])
-    grid = (org_p.shape[0] // BQ, tri_pack10.shape[1] // BT)
+    grid = (org_p.shape[0] // BQ, n_cl)
     qspec = lambda c: pl.BlockSpec((BQ, c), lambda i, j: (i, 0),
                                    memory_space=pltpu.VMEM)
     t, tri, u, v = pl.pallas_call(
         _closest_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((10, BT), lambda i, j: (0, j),
+            pl.BlockSpec((10, bt), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # whole cluster table
             qspec(3), qspec(3), qspec(3), qspec(2),
@@ -346,7 +361,9 @@ def shadow_transmission_pallas(tri_pack10, cluster8, filt4, org, dirn,
                                dist, n_tris: int):
     """filt4: (4, T) f32 rgb filter rows (in PACK order) + padding row.
     Returns (N, 3) transmission."""
-    sort = tri_pack10.shape[1] // BT >= SORT_MIN_CLUSTERS
+    n_cl = cluster8.shape[1]
+    bt = tri_pack10.shape[1] // n_cl
+    sort = n_cl >= SORT_MIN_CLUSTERS
     if sort:
         perm, unperm = _ray_sort_perm(org, dirn)
         ray_pack = jnp.concatenate([org, dirn, dist[:, None]],
@@ -359,12 +376,14 @@ def shadow_transmission_pallas(tri_pack10, cluster8, filt4, org, dirn,
     if pad:
         # padded triangles never hit; filter value is irrelevant but keep 1
         filt4 = jnp.pad(filt4, ((0, 0), (0, pad)), constant_values=1.0)
-    grid = (org_p.shape[0] // BQ, tri_pack10.shape[1] // BT)
+    # per-tri log filter rows; -80 (exp -> flushed 0) marks opaque
+    logf4 = jnp.maximum(jnp.log(jnp.maximum(filt4, 1e-35)), -80.0)
+    grid = (org_p.shape[0] // BQ, n_cl)
     qspec = lambda c: pl.BlockSpec((BQ, c), lambda i, j: (i, 0),
                                    memory_space=pltpu.VMEM)
-    tspec = lambda c: pl.BlockSpec((c, BT), lambda i, j: (0, j),
+    tspec = lambda c: pl.BlockSpec((c, bt), lambda i, j: (0, j),
                                    memory_space=pltpu.VMEM)
-    tr = pl.pallas_call(
+    lg = pl.pallas_call(
         _shadow_kernel,
         grid=grid,
         in_specs=[tspec(10),
@@ -373,8 +392,8 @@ def shadow_transmission_pallas(tri_pack10, cluster8, filt4, org, dirn,
         out_specs=qspec(3),
         out_shape=jax.ShapeDtypeStruct((org_p.shape[0], 3), jnp.float32),
         interpret=INTERPRET,
-    )(tri_pack10, cluster8, filt4, org_p, dir_p, inv_p, dist_p)
-    tr = tr[:n]
+    )(tri_pack10, cluster8, logf4, org_p, dir_p, inv_p, dist_p)
+    tr = jnp.exp(lg[:n])
     if sort:
         tr = tr[unperm]
     return tr

@@ -69,3 +69,47 @@ def test_graft_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_photonmap_matches_single_device():
+    """Photon transport across the mesh (SURVEY §5.8): lane-sharded
+    shooting + replicated packs + film-sharded shading must equal the
+    single-device photonmapping render."""
+    from libyafaray_tpu.scene.xml_parser import parse_xml_file
+    from libyafaray_tpu.scene.session import build_config
+    from libyafaray_tpu.integrators.config import RenderConfig
+    from libyafaray_tpu.integrators.photonmap import render_photonmap
+    from libyafaray_tpu.parallel.mesh import make_device_mesh
+
+    s = parse_xml_file(SCENE)
+    cfg = build_config(s)
+    cfg = RenderConfig(**{**cfg.__dict__, "integrator": "photonmapping",
+                          "photons": 4096, "caustic_photons": 2048,
+                          "fg_samples": 2, "aa_samples": 1, "aa_passes": 1,
+                          "width": 24, "height": 24, "raydepth": 2})
+    cs = s.compile()
+    img1 = render_photonmap(cs, cfg).image
+    mesh = make_device_mesh(8)
+    img8 = render_photonmap(cs, cfg, mesh=mesh).image
+    assert np.isfinite(img8).all()
+    assert np.allclose(img1, img8, atol=1e-4), np.abs(img1 - img8).max()
+
+
+def test_sharded_sppm_matches_single_device():
+    from libyafaray_tpu.scene.xml_parser import parse_xml_file
+    from libyafaray_tpu.scene.session import build_config
+    from libyafaray_tpu.integrators.config import RenderConfig
+    from libyafaray_tpu.integrators.sppm import render_sppm
+    from libyafaray_tpu.parallel.mesh import make_device_mesh
+
+    s = parse_xml_file(SCENE)
+    cfg = build_config(s)
+    cfg = RenderConfig(**{**cfg.__dict__, "integrator": "SPPM",
+                          "sppm_photons": 4096, "sppm_passes": 2,
+                          "width": 24, "height": 24, "raydepth": 2})
+    cs = s.compile()
+    img1 = render_sppm(cs, cfg).image
+    mesh = make_device_mesh(8)
+    img8 = render_sppm(cs, cfg, mesh=mesh).image
+    assert np.isfinite(img8).all()
+    assert np.allclose(img1, img8, atol=1e-4), np.abs(img1 - img8).max()
