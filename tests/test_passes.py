@@ -65,11 +65,13 @@ def test_pass_semantics(cornell_passes):
     # mask is binary
     mask = planes["mat-index-mask"]
     assert set(np.unique(mask)).issubset({0.0, 1.0})
-    # debug frames are unit-ish where hit
+    # debug frames are unit vectors per sample; the per-pixel average can
+    # shrink where AA samples straddle surfaces with different frames
     nu = planes["debug-nu"]
     nlen = np.linalg.norm(nu, axis=-1)
     hit = planes["z-depth-abs"][..., 0] > 0
-    assert np.allclose(nlen[hit], 1.0, atol=1e-3)
+    assert (nlen[hit] <= 1.0 + 1e-3).all()
+    assert np.median(nlen[hit]) > 0.99
 
 
 def test_reflect_pass_sees_mirror_bounce():
