@@ -359,7 +359,7 @@ def make_sample_step(static, camera, cfg: RenderConfig,
         sp = _surface_point(scene_arrays, hit, org, dirn, fp=fp)
         wo = -dirn
         row = gather_rows(mats, sp["mat"])
-        if static.textures:
+        if static.textures or getattr(static, "node_programs", ()):
             # initBSDF analog: shader-node/texture overrides + bump
             from ..textures.eval import apply_textures, bump_normal
 

@@ -73,7 +73,9 @@ _INT_COLS = ["mtype", "sub_mat1", "sub_mat2", "tex_blend_mode",
              # shader-node slots (texture index, -1 = none)
              "tex_diffuse", "tex_glossy", "tex_bump", "tex_mirror",
              "tex_transparency", "tex_translucency", "tex_blend", "tex_mask",
-             "tex_sigma_oren"]
+             "tex_sigma_oren",
+             # compiled node-DAG program index (textures/nodes.py; -1 none)
+             "node_prog"]
 _BOOL_COLS = ["fresnel_effect", "anisotropic", "as_diffuse", "fake_shadows",
               "double_sided", "receive_shadows"]
 

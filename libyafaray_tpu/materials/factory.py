@@ -27,7 +27,8 @@ _BLEND_MODES = {
 
 def material_row_from_params(params: ParamMap, mat_name_to_id: dict,
                              tex_name_to_id: dict | None = None,
-                             texture_mappers: dict | None = None) -> dict:
+                             texture_mappers: dict | None = None,
+                             node_programs: list | None = None) -> dict:
     tex_name_to_id = tex_name_to_id or {}
     texture_mappers = texture_mappers if texture_mappers is not None else {}
     mtype_name = params.get_str("type", "shinydiffusemat")
@@ -170,4 +171,23 @@ def material_row_from_params(params: ParamMap, mat_name_to_id: dict,
         else:
             log.warning("material: shader %r for %s not resolvable to a "
                         "texture; ignored", sh, key)
+
+    # full node-DAG compilation (textures/nodes.py): when the scene layer
+    # provides a program registry, trace the material's shader graph into
+    # a static NodeProgram — arbitrary node-on-node chains with the full
+    # blend-mode set (the legacy tex_* slot resolution above remains for
+    # bump mapping and as the fallback)
+    if node_programs is not None:
+        from ..textures.nodes import parse_node_graph
+
+        slot_refs = {k: params.get_str(k, "") for k in (
+            "diffuse_shader", "glossy_shader", "mirror_color_shader",
+            "transparency_shader", "translucency_shader", "blend_shader",
+            "sigma_oren_shader")}
+        if any(slot_refs.values()):
+            prog = parse_node_graph(params.get_list("__list__", []),
+                                    tex_name_to_id, slot_refs)
+            if prog is not None:
+                row["node_prog"] = len(node_programs)
+                node_programs.append(prog)
     return row

@@ -67,6 +67,7 @@ class SceneStatic:
     texture_mappings: tuple = ()  # per-texture (texco, mapping, scale, off)
     has_blend: bool = False  # any blend_mat/mask_mat in the table
     mat_families: tuple | None = None  # mtype codes present
+    node_programs: tuple = ()  # compiled shader DAGs (textures/nodes.py)
 
 
 @dataclass
@@ -108,6 +109,7 @@ class Scene:
         self.volume_params: list[ParamMap] = []
         self.texture_params: dict[str, ParamMap] = {}
         self.texture_mappers: dict[int, tuple] = {}
+        self.node_programs: list = []  # compiled shader DAGs (nodes.py)
 
     # ------------------------------------------------------------------
     # geometry streaming (yafrayInterface parity)
@@ -181,6 +183,7 @@ class Scene:
             params, self.material_names,
             {n: i for i, n in enumerate(self.textures)},
             self.texture_mappers,
+            node_programs=self.node_programs,
         )
         if name in self.material_names:
             self.materials[self.material_names[name]] = row
@@ -567,6 +570,7 @@ class Scene:
                                              (1.0, 1.0, 1.0),
                                              (0.0, 0.0, 0.0)))
                 for i in range(len(self.textures))),
+            node_programs=tuple(self.node_programs),
             has_blend=any(r["mtype"] in (6, 7) for r in self.materials),
             mat_families=tuple(sorted(
                 {r["mtype"] for r in self.materials})),

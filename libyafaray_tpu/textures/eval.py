@@ -122,15 +122,20 @@ def sample_image_trilinear(atlas, levels: tuple, u, v, lod):
     return c0 * (1.0 - fr) + c1 * fr
 
 
-def _mapped_coords(static, ti: int, sp):
+def _mapped_coords(static, ti: int, sp, mapping_over=None):
     """Apply the texture_mapper transform (reference textureMapper_t):
     texco (uv/global/object/orco), scale/offset, and for 3-D coords the
-    projection (plain/sphere/tube) to 2-D uv.  Returns (u, v, p3)."""
-    mappings = getattr(static, "texture_mappings", ())
-    texco, mapping, scale, offset = (
-        mappings[ti] if ti < len(mappings)
-        else ("uv", "plain", (1.0, 1.0, 1.0), (0.0, 0.0, 0.0))
-    )
+    projection (plain/sphere/tube) to 2-D uv.  Returns (u, v, p3).
+    mapping_over: per-NODE transform (textures/nodes.py) overriding the
+    texture's registered default."""
+    if mapping_over is not None:
+        texco, mapping, scale, offset = mapping_over
+    else:
+        mappings = getattr(static, "texture_mappings", ())
+        texco, mapping, scale, offset = (
+            mappings[ti] if ti < len(mappings)
+            else ("uv", "plain", (1.0, 1.0, 1.0), (0.0, 0.0, 0.0))
+        )
     if texco == "uv":
         u = sp["uv"][..., 0] * scale[0] + offset[0]
         v = sp["uv"][..., 1] * scale[1] + offset[1]
@@ -227,7 +232,14 @@ def _sample_image_windowed(img, u, v, win, sampler=None):
     return out
 
 
-def sample_texture(scene_arrays, static, ti: int, sp):
+def sample_texture_mapped(scene_arrays, static, ti: int, sp, mapping):
+    """Texture eval with an explicit per-node mapper transform
+    (textures/nodes.py texture_mapper nodes)."""
+    return sample_texture(scene_arrays, static, ti, sp,
+                          mapping_over=mapping)
+
+
+def sample_texture(scene_arrays, static, ti: int, sp, mapping_over=None):
     """Evaluate texture `ti` (static) at the surface points. -> (N,3).
 
     Interpolation (reference imagetex.cc, SURVEY §2.5): bilinear default;
@@ -237,7 +249,7 @@ def sample_texture(scene_arrays, static, ti: int, sp):
     resolves to trilinear (isotropic cone; anisotropy is a parity gap).
     """
     spec = static.textures[ti]
-    u, v, p3 = _mapped_coords(static, ti, sp)
+    u, v, p3 = _mapped_coords(static, ti, sp, mapping_over)
     ramp = spec[2] if len(spec) > 2 else None
     if spec[0] == "image":
         img = scene_arrays[f"tex_{ti}"]
@@ -304,6 +316,35 @@ def apply_textures(scene_arrays, static, row, sp):
         for slot, target in slots_scalar:
             mask = row[slot] == ti
             row[target] = jnp.where(mask, luminance(val()), row[target])
+
+    # compiled node-DAG programs override the legacy slot resolution for
+    # materials that have one (textures/nodes.py; arbitrary node-on-node
+    # graphs with the full blend-mode set)
+    progs = getattr(static, "node_programs", ())
+    if progs:
+        from .nodes import eval_node_program
+
+        slot_targets = {
+            "diffuse_shader": ("diffuse_color", False),
+            "glossy_shader": ("glossy_color", False),
+            "mirror_color_shader": ("mirror_color", False),
+            "transparency_shader": ("transparency", True),
+            "translucency_shader": ("translucency", True),
+            "blend_shader": ("blend_value", True),
+            "sigma_oren_shader": ("sigma", True),
+        }
+        for pi, prog in enumerate(progs):
+            mask = row["node_prog"] == pi
+            vals = eval_node_program(scene_arrays, static, prog, sp)
+            for slot, col in vals.items():
+                tgt = slot_targets.get(slot)
+                if tgt is None:
+                    continue
+                key, scalar = tgt
+                if scalar:
+                    row[key] = jnp.where(mask, luminance(col), row[key])
+                else:
+                    row[key] = jnp.where(mask[..., None], col, row[key])
     return row
 
 

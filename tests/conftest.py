@@ -27,3 +27,8 @@ assert jax.devices()[0].platform == "cpu", (
     "tests must run on the virtual CPU mesh, got: " + str(jax.devices())
 )
 assert len(jax.devices()) >= 8, "expected 8 virtual CPU devices"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running golden/regression gates")

@@ -317,3 +317,118 @@ def test_mipmap_lod_selection_in_scene():
     near = img_tri[28:31, :, 0]
     assert far.std() < 0.08, (far.std(), far.mean())
     assert near.std() > 2.0 * far.std(), (near.std(), far.std())
+
+
+def test_blend_layer_modes_closed_form():
+    """Every layernode blend mode vs closed-form numpy (reference
+    layernode.cc semantics; SURVEY §2.4)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from libyafaray_tpu.textures.nodes import blend_layer, BLEND_MODES
+
+    rng = np.random.default_rng(1)
+    base = rng.random((64, 3)).astype(np.float32)
+    tex = rng.random((64, 3)).astype(np.float32)
+    fac = rng.random(64).astype(np.float32)
+    f = fac[:, None]
+
+    def hsv(c):
+        import colorsys
+        return np.array([colorsys.rgb_to_hsv(*px) for px in c], np.float32)
+
+    def from_hsv(h):
+        import colorsys
+        return np.array([colorsys.hsv_to_rgb(*px) for px in h], np.float32)
+
+    expected = {
+        "mix": base * (1 - f) + tex * f,
+        "add": base + tex * f,
+        "sub": base - tex * f,
+        "mul": base * ((1 - f) + tex * f),
+        "screen": 1 - (1 - base) * (1 - tex * f),
+        "difference": base * (1 - f) + np.abs(base - tex) * f,
+        "darken": np.minimum(base, tex * f + base * (1 - f)),
+        "lighten": np.maximum(base, tex * f),
+        "divide": base * (1 - f) + f * base / np.maximum(tex, 1e-4),
+        "burn": 1 - (1 - base) / np.maximum(tex * f + (1 - f), 1e-4),
+        "dodge": base / np.maximum(1 - tex * f, 1e-4),
+    }
+    for name, ref in expected.items():
+        got = np.asarray(blend_layer(jnp.asarray(base), jnp.asarray(tex),
+                                     BLEND_MODES[name], jnp.asarray(fac)))
+        ref = np.clip(ref, 0.0, None)
+        assert np.allclose(got, ref, atol=1e-5), name
+
+    # hue/saturation/value/color against colorsys
+    bh = hsv(base)
+    th = hsv(tex)
+    for name, mixh in (
+        ("hue", np.stack([th[:, 0], bh[:, 1], bh[:, 2]], -1)),
+        ("saturation", np.stack([bh[:, 0], th[:, 1], bh[:, 2]], -1)),
+        ("value", np.stack([bh[:, 0], bh[:, 1], th[:, 2]], -1)),
+        ("color", np.stack([th[:, 0], th[:, 1], bh[:, 2]], -1)),
+    ):
+        res = from_hsv(mixh)
+        if name in ("hue", "color"):
+            res = np.where(th[:, 1:2] > 1e-6, res, base)
+        if name == "saturation":
+            res = np.where(bh[:, 1:2] > 1e-6, res, base)
+        ref = np.clip(base * (1 - f) + res * f, 0.0, None)
+        got = np.asarray(blend_layer(jnp.asarray(base), jnp.asarray(tex),
+                                     BLEND_MODES[name], jnp.asarray(fac)))
+        assert np.allclose(got, ref, atol=2e-5), (
+            name, np.abs(got - ref).max())
+
+
+def test_node_dag_texture_on_texture():
+    """A two-layer node graph (mapper -> layer(mul) -> layer(add over
+    def_col)) drives diffuse_color — arbitrary node-on-node DAG through
+    the scene pipeline (reference nodematerial.cc; VERDICT r1 #7)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from libyafaray_tpu.scene.scene import Scene
+    from libyafaray_tpu.scene.params import ParamMap
+    from libyafaray_tpu.materials.base import gather_rows
+    from libyafaray_tpu.textures.eval import apply_textures
+
+    s = Scene()
+    s.create_texture("ta", ParamMap({"type": "image"}))
+    s.create_texture("tb", ParamMap({"type": "image"}))
+    ta = np.full((4, 4, 3), 0.5, np.float32)
+    tb = np.zeros((4, 4, 3), np.float32)
+    tb[..., 0] = 0.25
+    list(s.textures.values())[0].image = ta
+    list(s.textures.values())[1].image = tb
+    s.create_material("m", ParamMap({
+        "type": "shinydiffusemat", "color": (1.0, 1.0, 1.0),
+        "diffuse_shader": "top",
+        "__list__": [
+            {"name": "map_a", "type": "texture_mapper", "texture": "ta"},
+            {"name": "map_b", "type": "texture_mapper", "texture": "tb"},
+            # bottom layer: a over def_col black -> 0.5 gray
+            {"name": "lay_a", "type": "layer", "input": "map_a",
+             "mode": "mix", "colfac": 1.0,
+             "def_col": (0.0, 0.0, 0.0, 1.0)},
+            # top layer: b ADDED over lay_a -> (0.75, 0.5, 0.5)
+            {"name": "top", "type": "layer", "input": "map_b",
+             "upper_layer": "lay_a", "mode": "add", "colfac": 1.0},
+        ]}))
+    # dummy geometry so compile has triangles
+    s.add_sphere((0, 0, 0), 1.0, "m")
+    s.create_camera("cam", ParamMap({
+        "type": "perspective", "resx": 8, "resy": 8,
+        "from": (0, -4, 0), "to": (0, 0, 0), "up": (0, -4, 1)}))
+    cs = s.compile()
+    assert len(cs.static.node_programs) == 1
+
+    n = 8
+    arrays = {k: jnp.asarray(v) if hasattr(v, "shape") else v
+              for k, v in cs.arrays.items()}
+    mid = s.material_names["m"]
+    row = gather_rows(arrays["materials"], jnp.full(n, mid, jnp.int32))
+    sp = dict(p=jnp.zeros((n, 3)), uv=jnp.full((n, 2), 0.4),
+              n=jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1)),
+              uv_density=jnp.ones(n), fp=None)
+    row2 = apply_textures(arrays, cs.static, row, sp)
+    got = np.asarray(row2["diffuse_color"])
+    assert np.allclose(got, [0.75, 0.5, 0.5], atol=1e-5), got[0]
