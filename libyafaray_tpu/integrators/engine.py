@@ -371,11 +371,16 @@ def make_sample_step(static, camera, cfg: RenderConfig,
                                  static.has_blend)
         li_id = sp["light_id"]
         is_light_tri = li_id >= 0
+        is_sphere_l = jnp.zeros((n,), jnp.bool_)
         if len(static.lights):
             lpk = scene_arrays["lights"]["hit_pack"][jnp.maximum(li_id, 0)]
             area_l = lpk[:, 0]
             dbl = lpk[:, 1] > 0.5
             hr = lpk[:, 2:5]
+            is_sphere_l = is_light_tri & (
+                lpk[:, 5].astype(jnp.int32) == lightmod.LT_SPHERE)
+            sl_c = lpk[:, 6:9]
+            sl_r = lpk[:, 9]
             front = (vmath.dot(sp["ng"], wo) > 0.0) | dbl
             emit = emit + jnp.where((is_light_tri & front)[..., None],
                                     hr, 0.0)
@@ -384,6 +389,19 @@ def make_sample_step(static, camera, cfg: RenderConfig,
         cos_l = jnp.abs(vmath.dot(sp["ng"], wo))
         pdf_light_hit = (hit.t * hit.t) / jnp.maximum(
             area_l * jnp.maximum(cos_l, 1e-6), 1e-9)
+        if len(static.lights) and any(
+                ls.ltype == lightmod.LT_SPHERE for ls in static.lights):
+            # sphere lights are NEE-sampled by visible-cap CONE: the MIS
+            # counterpart pdf of a BSDF hit is the cone pdf from the ray
+            # origin, not the area form (reference spherelight.cc)
+            dvec = sl_c - org
+            d_c2 = jnp.maximum(vmath.dot(dvec, dvec), 1e-12)
+            sin2 = jnp.clip(sl_r * sl_r / d_c2, 0.0, 1.0)
+            cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+            pdf_cone = 1.0 / jnp.maximum(
+                2.0 * jnp.pi * (1.0 - cos_max), 1e-9)
+            pdf_light_hit = jnp.where(is_sphere_l, pdf_cone,
+                                      pdf_light_hit)
         # MIS only against lights that _direct_lighting actually samples:
         # a light with NEE disabled (not enabled / photon_only) has no
         # light-sampling counterpart, so down-weighting its BSDF-strategy

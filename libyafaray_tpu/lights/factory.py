@@ -88,8 +88,18 @@ def light_from_params(params: ParamMap):
         r = params.get_float("radius", 1.0)
         row["radius"] = r
         # radiance from total flux: L = Φ/(π·4πr²)
-        row["radiance"] = tuple(color * power / (4.0 * _PI * _PI * r * r))
+        rad = color * power / (4.0 * _PI * _PI * r * r)
+        row["radiance"] = tuple(rad)
         row["area"] = 4.0 * _PI * r * r
+        # intersectable (reference spherelight canIntersect): synthetic
+        # emissive icosphere so BSDF-sampled hits see it; the engine MIS-
+        # weights those hits with the CONE pdf (matching illumSample)
+        row["intersectable"] = True
+        from ..scene.mesh import make_sphere_mesh
+
+        geometry = dict(
+            pos=make_sphere_mesh(row["p0"], r, 0, subdiv=2)["pos"],
+            radiance=tuple(rad))
 
     elif lt == "arealight":
         row["ltype"] = LT_AREA

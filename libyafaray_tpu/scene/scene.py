@@ -426,12 +426,18 @@ class Scene:
                 hit_rad[li] = np.asarray(r["radiance"], np.float32)
         lights_table["hit_radiance"] = hit_rad
         # packed per-light emission-hit attributes (one gather in the
-        # engine's emission step): [area, double_sided, hit_radiance rgb]
+        # engine's emission step): [area, double_sided, hit_radiance rgb,
+        # ltype, center xyz, radius] — ltype/center/radius feed the
+        # sphere-light cone-pdf MIS branch (reference spherelight
+        # canIntersect)
         lights_table["hit_pack"] = np.concatenate([
             lights_table["area"][:, None].astype(np.float32),
             lights_table["double_sided"][:, None].astype(np.float32),
             hit_rad,
-        ], axis=1) if len(all_lights) else np.zeros((0, 5), np.float32)
+            lights_table["ltype"][:, None].astype(np.float32),
+            lights_table["p0"].astype(np.float32),
+            lights_table["radius"][:, None].astype(np.float32),
+        ], axis=1) if len(all_lights) else np.zeros((0, 10), np.float32)
 
         light_statics = tuple(
             LightStatic(

@@ -239,3 +239,49 @@ def test_white_furnace_rough_glass():
     err = np.abs(img - 0.5)
     # rough dielectric keeps more variance than lambert; bound the mean
     assert err.mean() < 0.05, (img.mean(), err.mean())
+
+
+def test_spherelight_two_strategy_mis():
+    """Intersectable sphere light (reference spherelight canIntersect):
+    path mode (NEE + BSDF-hit MIS) and directlighting (NEE only) are both
+    unbiased, so their means must agree — a broken MIS weight pair shows
+    up as a systematic brightness shift."""
+    from libyafaray_tpu.scene.scene import Scene
+    from libyafaray_tpu.scene.params import ParamMap
+    from libyafaray_tpu.scene.session import render_scene
+
+    def build(integrator):
+        s = Scene()
+        s.create_material("floor", ParamMap({
+            "type": "shinydiffusemat", "color": (0.8, 0.8, 0.8),
+            "diffuse_reflect": 0.9}))
+        s.create_light("L", ParamMap({
+            "type": "spherelight", "from": (0.0, 0.0, 2.0),
+            "radius": 0.7, "power": 30.0, "color": (1.0, 1.0, 1.0),
+            "samples": 8}))
+        m = s.start_tri_mesh()
+        for (x, y) in ((-4, -4), (4, -4), (4, 4), (-4, 4)):
+            s.add_vertex(float(x), float(y), 0.0)
+        s.add_triangle(0, 1, 2, "floor")
+        s.add_triangle(0, 2, 3, "floor")
+        s.end_tri_mesh()
+        s.create_camera("cam", ParamMap({
+            "type": "perspective", "resx": 32, "resy": 32,
+            "from": (0.0, -6.0, 3.0), "to": (0.0, 0.0, 0.5),
+            "up": (0.0, -6.0, 4.0), "focal": 1.2}))
+        s.create_integrator("default", ParamMap({
+            "type": integrator, "raydepth": 2, "bounces": 2}))
+        s.render_params = ParamMap({
+            "width": 32, "height": 32, "AA_minsamples": 24,
+            "integrator_name": "default", "camera_name": "cam"})
+        return s
+
+    img_path = render_scene(build("pathtracing")).image
+    img_direct = render_scene(build("directlighting")).image
+    # compare the lit floor region (exclude the light blob itself which
+    # only the camera rays see identically anyway)
+    mp, md = float(img_path.mean()), float(img_direct.mean())
+    assert np.isfinite(img_path).all() and np.isfinite(img_direct).all()
+    assert abs(mp - md) / max(md, 1e-6) < 0.1, (mp, md)
+    # the light sphere is visible: bright pixels near image top-center
+    assert img_path[2:12, 10:22].max() > img_path[20:, :].max()
