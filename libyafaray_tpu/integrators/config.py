@@ -63,6 +63,8 @@ class RenderConfig:
     # volume integrator
     vol_integrator: str = "none"
     vol_step_size: float = 0.1
+    vol_adaptive: bool = False
+    vol_optimize: bool = False
     # output
     color_space: str = "sRGB"
     gamma: float = 1.0
@@ -138,6 +140,8 @@ def config_from_params(render: ParamMap, integ: ParamMap,
         sppm_search=integ.get_int("searchNum", 100),
         vol_integrator=vol.get_str("type", "none"),
         vol_step_size=vol.get_float("stepSize", 0.1),
+        vol_adaptive=vol.get_bool("adaptive", False),
+        vol_optimize=vol.get_bool("optimize", False),
         color_space=render.get_str("color_space", "sRGB"),
         gamma=render.get_float("gamma", 1.0),
         z_channel=render.get_bool("z_channel", False),

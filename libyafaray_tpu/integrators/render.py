@@ -56,6 +56,26 @@ def render(cscene: CompiledScene, cfg: RenderConfig,
     t0 = time.perf_counter()
     arrays = device_put_scene(cscene)
 
+    if (cfg.vol_optimize and cscene.static.volumes
+            and cfg.vol_integrator == "SingleScatterIntegrator"):
+        # SingleScatter `optimize`: bake per-(volume, light) attenuation
+        # grids once (reference attenuationGridMap precompute)
+        from ..volumes.integrate import build_attenuation_grids
+        from .engine import _shadow_transmission
+
+        def _bake(a):
+            def _shadow(o, d, dist):
+                return _shadow_transmission(a, cscene.static, cfg, o, d,
+                                            dist)
+
+            return build_attenuation_grids(
+                cscene.static.volumes, cscene.static, a, cfg, _shadow)
+
+        grids = jax.jit(_bake)(arrays)
+        jax.block_until_ready(grids)
+        arrays = dict(arrays, **grids)
+        log.info("volume optimize: %d attenuation grids baked", len(grids))
+
     caustic = None
     if (cfg.integrator == "pathtracing"
             and cfg.caustic_type in ("photon", "both")):

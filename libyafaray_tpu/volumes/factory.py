@@ -58,6 +58,9 @@ class VolumeRegion:
     sharpness: float = 1.0
     cover: float = 1.0
     density: float = 1.0
+    # SkyVolume: Rayleigh/Mie scattering split (reference SkyVolume.cc)
+    s_ray: float = 0.01
+    s_mie: float = 0.001
     # GridVolume: hashable grid payload (tuple of floats + dims)
     grid_shape: tuple = ()
     grid_data: tuple = ()
@@ -96,6 +99,8 @@ def volume_from_params(params: ParamMap) -> VolumeRegion:
         sharpness=params.get_float("sharpness", 1.0),
         cover=params.get_float("cover", 1.0),
         density=params.get_float("density", 1.0),
+        s_ray=params.get_float("sigma_r", params.get_float("s_ray", 0.01)),
+        s_mie=params.get_float("sigma_m", params.get_float("s_mie", 0.001)),
         grid_shape=grid_shape,
         grid_data=grid_data,
     )

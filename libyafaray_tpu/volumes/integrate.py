@@ -17,8 +17,8 @@ import jax.numpy as jnp
 from ..core import math as vmath
 from ..core import qmc
 from ..lights import base as lightmod
-from .factory import VOL_EXP, VOL_GRID, VOL_NOISE, VOL_UNIFORM, \
-    VolumeRegion
+from .factory import VOL_EXP, VOL_GRID, VOL_NOISE, VOL_SKY, \
+    VOL_UNIFORM, VolumeRegion
 
 MARCH_STEPS = 16
 
@@ -39,7 +39,10 @@ def _density(vol: VolumeRegion, p):
     """Relative density in [0,1+] at points p (N,3)."""
     if vol.vtype == VOL_UNIFORM:
         return jnp.ones(p.shape[:-1], jnp.float32)
-    if vol.vtype == VOL_EXP:
+    if vol.vtype in (VOL_EXP, VOL_SKY):
+        # SkyVolume shares the exponential height falloff (reference
+        # SkyVolume.cc atmosphere density); its Rayleigh/Mie split acts
+        # in the phase function (_phase)
         z0 = vol.bmin[2]
         return vol.a * jnp.exp(-vol.b * jnp.maximum(p[..., 2] - z0, 0.0))
     if vol.vtype == VOL_NOISE:
@@ -84,6 +87,96 @@ def _density(vol: VolumeRegion, p):
     return jnp.ones(p.shape[:-1], jnp.float32)
 
 
+def _phase(vol: VolumeRegion, cos_t):
+    """Phase function value for scatter angle cosine (N,).
+    Henyey-Greenstein with the region's g (isotropic at g=0); SkyVolume
+    mixes Rayleigh 3/(16π)(1+cos²θ) and HG-Mie by its s_ray/s_mie split
+    (reference SkyVolume.cc role)."""
+    inv4pi = 1.0 / (4.0 * jnp.pi)
+    g = vol.g
+    if abs(g) < 1e-6:
+        hg = jnp.full_like(cos_t, inv4pi)
+    else:
+        denom = jnp.maximum(1.0 + g * g - 2.0 * g * cos_t, 1e-6)
+        hg = inv4pi * (1.0 - g * g) / (denom * jnp.sqrt(denom))
+    if vol.vtype == VOL_SKY:
+        ray = 3.0 / (16.0 * jnp.pi) * (1.0 + cos_t * cos_t)
+        wr = vol.s_ray / max(vol.s_ray + vol.s_mie, 1e-12)
+        return wr * ray + (1.0 - wr) * hg
+    return hg
+
+
+def _trilinear_grid(grid, bmin, bmax, p):
+    """Sample a (G,G,G) scalar grid with trilinear interpolation at
+    world points p (N,3); clamped at the borders."""
+    gz, gy, gx = grid.shape
+    bmin = jnp.asarray(bmin, jnp.float32)
+    bmax = jnp.asarray(bmax, jnp.float32)
+    rel = (p - bmin) / jnp.maximum(bmax - bmin, 1e-9)
+    fx = jnp.clip(rel[..., 0] * gx - 0.5, 0.0, gx - 1.0)
+    fy = jnp.clip(rel[..., 1] * gy - 0.5, 0.0, gy - 1.0)
+    fz = jnp.clip(rel[..., 2] * gz - 0.5, 0.0, gz - 1.0)
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    z0 = jnp.floor(fz).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, gx - 1)
+    y1 = jnp.minimum(y0 + 1, gy - 1)
+    z1 = jnp.minimum(z0 + 1, gz - 1)
+    tx = (fx - x0)
+    ty = (fy - y0)
+    tz = (fz - z0)
+    c000 = grid[z0, y0, x0]
+    c100 = grid[z0, y0, x1]
+    c010 = grid[z0, y1, x0]
+    c110 = grid[z0, y1, x1]
+    c001 = grid[z1, y0, x0]
+    c101 = grid[z1, y0, x1]
+    c011 = grid[z1, y1, x0]
+    c111 = grid[z1, y1, x1]
+    c00 = c000 * (1 - tx) + c100 * tx
+    c01 = c001 * (1 - tx) + c101 * tx
+    c10 = c010 * (1 - tx) + c110 * tx
+    c11 = c011 * (1 - tx) + c111 * tx
+    return (c00 * (1 - ty) + c10 * ty) * (1 - tz) \
+        + (c01 * (1 - ty) + c11 * ty) * tz
+
+
+ATT_GRID = 24  # attenuation-grid resolution per axis
+
+
+def build_attenuation_grids(volumes, static, scene_arrays, cfg, shadow_fn):
+    """SingleScatter `optimize` precompute (reference
+    SingleScatterIntegrator.cc attenuationGridMap): per (volume, light) a
+    G³ grid of shadow x medium transmittance toward the light, sampled
+    once at render start instead of per march step.  Returns
+    {"vol_att_{vi}_{li}": (G,G,G)} luminance arrays."""
+    out = {}
+    g = ATT_GRID
+    for vi, vol in enumerate(volumes):
+        bmin = jnp.asarray(vol.bmin, jnp.float32)
+        bmax = jnp.asarray(vol.bmax, jnp.float32)
+        zs, ys, xs = jnp.meshgrid(
+            (jnp.arange(g) + 0.5) / g, (jnp.arange(g) + 0.5) / g,
+            (jnp.arange(g) + 0.5) / g, indexing="ij")
+        p = bmin + jnp.stack([xs, ys, zs], axis=-1).reshape(-1, 3) \
+            * (bmax - bmin)
+        n = p.shape[0]
+        for li, lstat in enumerate(static.lights):
+            if not lstat.enabled or lstat.ltype in (
+                    lightmod.LT_MESH, lightmod.LT_BACKGROUND):
+                continue
+            lrow = lightmod.light_row(scene_arrays["lights"], li)
+            from ..integrators.engine import _LIGHT_SAMPLERS
+
+            u = jnp.full((n,), 0.5, jnp.float32)
+            smp = _LIGHT_SAMPLERS[lstat.ltype](lrow, p, u, u)
+            occ = shadow_fn(p, smp["wi"], smp["dist"])
+            t_med = transmittance(volumes, p, smp["wi"], smp["dist"])
+            att = jnp.mean(occ, axis=-1) * t_med
+            out[f"vol_att_{vi}_{li}"] = att.reshape(g, g, g)
+    return out
+
+
 def transmittance(volumes, org, dirn, dist):
     """T along segments (N,) — Beer over every region crossed."""
     tr = jnp.ones(dist.shape, jnp.float32)
@@ -119,7 +212,7 @@ def integrate_volume(volumes, mode: str, scene_arrays, static, cfg,
     l_vol = jnp.zeros((n, 3), jnp.float32)
     t_total = transmittance(volumes, org, dirn, dist)
 
-    for vol in volumes:
+    for vi, vol in enumerate(volumes):
         t0, t1 = _ray_aabb(org, dirn, vol.bmin, vol.bmax, dist)
         seg = jnp.maximum(t1 - t0, 0.0)
         dt = seg / MARCH_STEPS
@@ -153,14 +246,24 @@ def integrate_volume(volumes, mode: str, scene_arrays, static, cfg,
                     from ..integrators.engine import _LIGHT_SAMPLERS
 
                     smp = _LIGHT_SAMPLERS[lstat.ltype](lrow, p, u1, u2)
-                    occ = shadow_fn(p, smp["wi"], smp["dist"])
-                    t_med = transmittance(volumes, p, smp["wi"],
-                                          smp["dist"])
-                    phase = 1.0 / (4.0 * jnp.pi)  # isotropic
+                    att_key = f"vol_att_{vi}_{li}"
+                    if att_key in scene_arrays:
+                        # `optimize` mode: precomputed attenuation grid
+                        # replaces the per-step shadow ray + medium march
+                        att = _trilinear_grid(scene_arrays[att_key],
+                                              vol.bmin, vol.bmax, p)
+                        occ_med = att[..., None]
+                    else:
+                        occ = shadow_fn(p, smp["wi"], smp["dist"])
+                        t_med = transmittance(volumes, p, smp["wi"],
+                                              smp["dist"])
+                        occ_med = occ * t_med[..., None]
+                    cos_t = vmath.dot(-dirn, smp["wi"])
+                    phase = _phase(vol, cos_t)
                     ok = smp["valid"] & (smp["pdf"] > 1e-9)
-                    term = (smp["li"] * occ * (t_med * phase
-                                               / jnp.maximum(smp["pdf"],
-                                                             1e-9))[..., None])
+                    term = (smp["li"] * occ_med
+                            * (phase / jnp.maximum(smp["pdf"],
+                                                   1e-9))[..., None])
                     ls = ls + jnp.where(ok[..., None], term, 0.0)
                 l_vol = l_vol + (vol.sigma_s * dens * t_cam * dt)[..., None] \
                     * ls + (vol.l_e * dens * t_cam * dt)[..., None]
