@@ -39,7 +39,60 @@ from ..ops import intersect as isect
 from .config import RenderConfig
 
 
+def _sphere_hits(spheres, org, dirn, tmin, tmax):
+    """Exact quadric intersection against the (S,5) analytic sphere pack
+    (reference std_primitives.cc sphere_t::intersect).  Returns
+    (t (N,), idx (N,), hit (N,))."""
+    c = spheres[:, 0:3]
+    r = spheres[:, 3]
+    oc = org[:, None, :] - c[None]                     # (N,S,3)
+    b = jnp.sum(oc * dirn[:, None, :], axis=-1)        # (N,S)
+    cq = jnp.sum(oc * oc, axis=-1) - r[None] * r[None]
+    disc = b * b - cq
+    ok = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = -b - sq
+    t1 = -b + sq
+    t = jnp.where(t0 > tmin[:, None], t0, t1)
+    ok = ok & (t > tmin[:, None]) & (t < tmax[:, None])
+    t = jnp.where(ok, t, jnp.inf)
+    idx = jnp.argmin(t, axis=1).astype(jnp.int32)
+    tb = jnp.min(t, axis=1)
+    return tb, idx, jnp.isfinite(tb)
+
+
+def _merge_sphere_hits(scene_arrays, static, hit, org, dirn, tmin, tmax):
+    if static.n_spheres == 0 or "spheres" not in scene_arrays:
+        return hit
+    st, sidx, shit = _sphere_hits(scene_arrays["spheres"], org, dirn,
+                                  tmin, tmax)
+    better = shit & (st < hit.t)
+    # sphere hits are encoded as tri = -2 - sphere_index; _surface_point
+    # decodes them into an analytic shading record
+    return isect.Hit(
+        t=jnp.where(better, st, hit.t),
+        tri=jnp.where(better, -2 - sidx, hit.tri),
+        u=jnp.where(better, 0.0, hit.u),
+        v=jnp.where(better, 0.0, hit.v),
+        hit=hit.hit | better,
+    )
+
+
 def _closest_hit(scene_arrays, static, org, dirn, tmin=None, tmax=None):
+    n_ = org.shape[0]
+    if static.n_spheres:
+        if tmin is None:
+            tmin = jnp.full((n_,), isect.RAY_EPS, jnp.float32)
+        if tmax is None:
+            tmax = jnp.full((n_,), jnp.inf, jnp.float32)
+        hit = _closest_hit_tris(scene_arrays, static, org, dirn, tmin, tmax)
+        return _merge_sphere_hits(scene_arrays, static, hit, org, dirn,
+                                  tmin, tmax)
+    return _closest_hit_tris(scene_arrays, static, org, dirn, tmin, tmax)
+
+
+def _closest_hit_tris(scene_arrays, static, org, dirn, tmin=None,
+                      tmax=None):
     if static.intersector == "bvh":
         from ..ops.bvh_traverse import closest_hit_bvh
 
@@ -65,14 +118,36 @@ def _closest_hit(scene_arrays, static, org, dirn, tmin=None, tmax=None):
 
 
 def _shadow_transmission(scene_arrays, static, cfg, org, dirn, dist):
+    tr_sph = None
+    if static.n_spheres and "spheres" in scene_arrays:
+        sp = scene_arrays["spheres"]
+        sfil = (scene_arrays["sphere_filt"] if cfg.transp_shad
+                else scene_arrays["sphere_filt_binary"])
+        c = sp[:, 0:3]
+        r = sp[:, 3]
+        oc = org[:, None, :] - c[None]
+        b = jnp.sum(oc * dirn[:, None, :], axis=-1)
+        cq = jnp.sum(oc * oc, axis=-1) - r[None] * r[None]
+        disc = b * b - cq
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = -b - sq
+        t1 = -b + sq
+        tmin_s = isect.SHADOW_EPS
+        tmax_s = (dist * (1.0 - 1e-4) - isect.SHADOW_EPS)[:, None]
+        t = jnp.where(t0 > tmin_s, t0, t1)
+        okf = ((disc >= 0.0) & (t > tmin_s)
+               & (t < tmax_s)).astype(jnp.float32)    # (N,S)
+        factor = 1.0 - okf[..., None] * (1.0 - sfil[None])
+        tr_sph = jnp.prod(factor, axis=1)             # (N,3)
     filt = (scene_arrays["shadow_filt"] if cfg.transp_shad
             else scene_arrays["shadow_filt_binary"])
     if static.intersector == "bvh":
         from ..ops.bvh_traverse import shadow_transmission_bvh
 
-        return shadow_transmission_bvh(
-            scene_arrays["sbvh"], scene_arrays["stris"], filt, org, dirn, dist
-        )
+        tr = shadow_transmission_bvh(
+            scene_arrays["sbvh"], scene_arrays["stris"], filt, org, dirn,
+            dist)
+        return tr if tr_sph is None else tr * tr_sph
     from ..ops import pallas_intersect as pli
 
     n_stris = scene_arrays.get("stri_pack10", None)
@@ -80,12 +155,14 @@ def _shadow_transmission(scene_arrays, static, cfg, org, dirn, dist):
             and n_stris.shape[1] <= pli.MAX_TRIS):
         filt4 = (scene_arrays["sfilt4"] if cfg.transp_shad
                  else scene_arrays["sfilt4_binary"])
-        return pli.shadow_transmission_pallas(
+        tr = pli.shadow_transmission_pallas(
             scene_arrays["stri_pack10"], scene_arrays["stri_cluster8"],
             filt4, org, dirn, dist, n_tris=n_stris.shape[1])
-    return isect.shadow_transmission_brute(
+        return tr if tr_sph is None else tr * tr_sph
+    tr = isect.shadow_transmission_brute(
         scene_arrays["stris"], filt, org, dirn, dist, chunk=static.chunk
     )
+    return tr if tr_sph is None else tr * tr_sph
 
 
 def _surface_point(scene_arrays, hit, org, dirn, fp=None):
@@ -105,12 +182,39 @@ def _surface_point(scene_arrays, hit, org, dirn, fp=None):
     p = b0[..., None] * p0 + b1[..., None] * p1 + b2[..., None] * p2
     n = vmath.normalize(
         b0[..., None] * n0 + b1[..., None] * n1 + b2[..., None] * n2)
+    ng = pk[:, 24:27]
+    uv = b0[..., None] * uv0 + b1[..., None] * uv1 + b2[..., None] * uv2
+    mat = pk[:, 27].astype(jnp.int32)
+    light_id = pk[:, 28].astype(jnp.int32)
+    uv_density = pk[:, 29]
+
+    if "spheres" in scene_arrays:
+        # analytic sphere hits (tri encoded as -2 - sphere_index): exact
+        # position/normal + lat-long uv (reference sphere_t::getSurface)
+        is_sph = hit.tri < -1
+        sp_pk = scene_arrays["spheres"]
+        si = jnp.clip(-2 - hit.tri, 0, sp_pk.shape[0] - 1)
+        srow = sp_pk[si]
+        p_s = org + hit.t[..., None] * dirn
+        n_s = vmath.normalize(p_s - srow[:, 0:3])
+        uv_s = jnp.stack([
+            0.5 + jnp.arctan2(n_s[..., 1], n_s[..., 0]) / (2.0 * jnp.pi),
+            0.5 - jnp.arcsin(jnp.clip(n_s[..., 2], -1.0, 1.0)) / jnp.pi,
+        ], axis=-1)
+        m3 = is_sph[..., None]
+        p = jnp.where(m3, p_s, p)
+        n = jnp.where(m3, n_s, n)
+        ng = jnp.where(m3, n_s, ng)
+        uv = jnp.where(m3, uv_s, uv)
+        mat = jnp.where(is_sph, srow[:, 4].astype(jnp.int32), mat)
+        light_id = jnp.where(is_sph, -1, light_id)
+        uv_density = jnp.where(
+            is_sph, 1.0 / jnp.maximum(jnp.pi * srow[:, 3], 1e-6),
+            uv_density)
+
     return dict(
-        p=p, n=n, ng=pk[:, 24:27],
-        uv=b0[..., None] * uv0 + b1[..., None] * uv1 + b2[..., None] * uv2,
-        mat=pk[:, 27].astype(jnp.int32),
-        light_id=pk[:, 28].astype(jnp.int32),
-        uv_density=pk[:, 29],
+        p=p, n=n, ng=ng, uv=uv, mat=mat, light_id=light_id,
+        uv_density=uv_density,
         t=hit.t, tri=tri, fp=fp,
     )
 

@@ -68,6 +68,7 @@ class SceneStatic:
     has_blend: bool = False  # any blend_mat/mask_mat in the table
     mat_families: tuple | None = None  # mtype codes present
     node_programs: tuple = ()  # compiled shader DAGs (textures/nodes.py)
+    n_spheres: int = 0  # analytic sphere primitives
 
 
 @dataclass
@@ -110,6 +111,7 @@ class Scene:
         self.texture_params: dict[str, ParamMap] = {}
         self.texture_mappers: dict[int, tuple] = {}
         self.node_programs: list = []  # compiled shader DAGs (nodes.py)
+        self.analytic_spheres: list = []  # (center, radius, mat_id)
 
     # ------------------------------------------------------------------
     # geometry streaming (yafrayInterface parity)
@@ -165,13 +167,24 @@ class Scene:
         m = np.asarray(matrix16, np.float64).reshape(4, 4)
         self.extra_tri_blocks.append(transform_baked(arrays, m))
 
-    def add_sphere(self, center, radius, mat_name_or_id=0):
+    def add_sphere(self, center, radius, mat_name_or_id=0,
+                   analytic: bool = True):
+        """Sphere primitive (reference std_primitives.cc "sphere").
+        analytic=True (default, reference parity): exact quadric
+        intersection via the engine's sphere pass — exact silhouettes and
+        normals.  analytic=False: subdivided icosphere through the
+        triangle intersector."""
         mid = (
             self.material_names.get(mat_name_or_id, 0)
             if isinstance(mat_name_or_id, str)
             else int(mat_name_or_id)
         )
-        self.extra_tri_blocks.append(make_sphere_mesh(center, radius, mid))
+        if analytic:
+            self.analytic_spheres.append(
+                (tuple(float(x) for x in center), float(radius), mid))
+        else:
+            self.extra_tri_blocks.append(
+                make_sphere_mesh(center, radius, mid))
 
     # ------------------------------------------------------------------
     # factories (renderEnvironment_t::create*)
@@ -559,9 +572,29 @@ class Scene:
             arrays["bvh"] = build_bvh(v0, e1, e2)
             arrays["sbvh"] = build_bvh(sv0, se1, se2)
 
+        # analytic sphere primitives (reference std_primitives.cc):
+        # pack [cx cy cz r mat] + per-sphere shadow filters; the engine
+        # runs an exact quadric pass merged with the triangle hit
+        if self.analytic_spheres:
+            sp_rows = np.asarray(
+                [[c[0], c[1], c[2], r, float(m)]
+                 for (c, r, m) in self.analytic_spheres], np.float32)
+            arrays["spheres"] = sp_rows
+            sp_mats = sp_rows[:, 4].astype(np.int32)
+            arrays["sphere_filt"] = filt_m[sp_mats].astype(np.float32)
+            arrays["sphere_filt_binary"] = np.where(
+                np.min(arrays["sphere_filt"], axis=-1, keepdims=True)
+                >= 1.0 - 1e-6, 1.0, 0.0
+            ).astype(np.float32) * np.ones((1, 3), np.float32)
+
         finite = pos[np.all(np.isfinite(pos), axis=(1, 2))]
         bmin = finite.min(axis=(0, 1)) if finite.size else np.zeros(3)
         bmax = finite.max(axis=(0, 1)) if finite.size else np.ones(3)
+        if self.analytic_spheres:
+            sc = np.asarray([c for (c, r, m) in self.analytic_spheres])
+            sr = np.asarray([[r] for (c, r, m) in self.analytic_spheres])
+            bmin = np.minimum(bmin, (sc - sr).min(axis=0))
+            bmax = np.maximum(bmax, (sc + sr).max(axis=0))
 
         static = SceneStatic(
             n_materials=len(self.materials),
@@ -580,6 +613,7 @@ class Scene:
             has_blend=any(r["mtype"] in (6, 7) for r in self.materials),
             mat_families=tuple(sorted(
                 {r["mtype"] for r in self.materials})),
+            n_spheres=len(self.analytic_spheres),
         )
         cam = next(iter(self.cameras.values())) if self.cameras else Camera()
         cam_name = self.render_params.get_str("camera_name", "")

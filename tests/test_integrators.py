@@ -285,3 +285,74 @@ def test_spherelight_two_strategy_mis():
     assert abs(mp - md) / max(md, 1e-6) < 0.1, (mp, md)
     # the light sphere is visible: bright pixels near image top-center
     assert img_path[2:12, 10:22].max() > img_path[20:, :].max()
+
+
+def test_analytic_sphere_matches_tessellated():
+    """Analytic sphere primitive (reference std_primitives.cc) agrees
+    with the icosphere realization in the furnace setting, and its
+    silhouette is exactly circular (the tessellated one is faceted)."""
+    import jax.numpy as jnp
+    from libyafaray_tpu.scene.scene import Scene
+    from libyafaray_tpu.scene.params import ParamMap
+    from libyafaray_tpu.integrators.engine import _closest_hit
+
+    def build(analytic):
+        s = Scene()
+        s.create_material("m", ParamMap({
+            "type": "shinydiffusemat", "color": (1.0, 0.0, 0.0)}))
+        s.add_sphere((0.0, 0.0, 0.0), 1.0, "m", analytic=analytic)
+        s.create_camera("cam", ParamMap({
+            "type": "perspective", "resx": 8, "resy": 8,
+            "from": (0.0, -4.0, 0.0), "to": (0.0, 0.0, 0.0),
+            "up": (0.0, -4.0, 1.0)}))
+        return s.compile()
+
+    cs_a = build(True)
+    cs_t = build(False)
+    assert cs_a.static.n_spheres == 1
+    assert cs_t.static.n_spheres == 0
+
+    # rays at exact grazing vs center: the analytic sphere hits exactly
+    # inside |y| < 1 and misses outside
+    n = 64
+    ys = np.linspace(-1.2, 1.2, n).astype(np.float32)
+    org = jnp.asarray(np.stack([np.zeros(n), np.full(n, -4.0), ys], -1))
+    d = jnp.asarray(np.tile([[0.0, 1.0, 0.0]], (n, 1)).astype(np.float32))
+    arr_a = {k: jnp.asarray(v) if hasattr(v, "shape") else v
+             for k, v in cs_a.arrays.items()}
+    hit = _closest_hit(arr_a, cs_a.static, org, d)
+    got = np.asarray(hit.hit)
+    expect = np.abs(ys) < 1.0
+    assert (got == expect).all(), np.nonzero(got != expect)
+    # hit distance is the exact quadric root: t = 4 - sqrt(1 - y^2)
+    t_ref = 4.0 - np.sqrt(np.maximum(1.0 - ys ** 2, 0.0))
+    t_got = np.asarray(hit.t)
+    assert np.allclose(t_got[expect], t_ref[expect], atol=1e-4)
+
+    # surface record: normal is radial, mat resolves
+    from libyafaray_tpu.integrators.engine import _surface_point
+
+    sp = _surface_point(arr_a, hit, org, d)
+    nrm = np.asarray(sp["n"])[expect]
+    p = np.asarray(sp["p"])[expect]
+    assert np.allclose(nrm, p / np.linalg.norm(p, axis=1, keepdims=True),
+                       atol=1e-4)
+    assert (np.asarray(sp["mat"])[expect] ==
+            cs_a.arrays["spheres"][0, 4]).all()
+
+
+def test_analytic_sphere_furnace():
+    """The furnace holds with the analytic primitive too (shading +
+    shadowing through the sphere pass)."""
+    s = _sphere_scene(
+        {"type": "shinydiffusemat", "color": (1.0, 1.0, 1.0),
+         "diffuse_reflect": 1.0},
+        {"type": "constant", "color": (0.5, 0.5, 0.5), "ibl": True,
+         "ibl_samples": 4},
+    )
+    # _sphere_scene uses add_sphere (analytic by default now)
+    assert len(s.analytic_spheres) == 1
+    res = render_scene(s)
+    img = res.image
+    assert np.isfinite(img).all()
+    assert np.abs(img - 0.5).mean() < 0.02, img.mean()
