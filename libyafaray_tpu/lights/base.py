@@ -25,7 +25,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core import math as vmath
-from ..core.sampling import PI, sample_cone, sample_triangle
+from ..core.sampling import PI, sample_cone, \
+    sample_disk_concentric, sample_triangle
 
 LT_POINT = 0
 LT_AREA = 1
@@ -97,6 +98,25 @@ def sample_point(row, p, u1, u2):
 
 def sample_spot(row, p, u1, u2):
     out = sample_point(row, p, u1, u2)
+    # soft shadows (reference spotlight soft_shadows/shadowFuzzyness):
+    # jitter the emitter position on a disk ⊥ the spot axis; radius 0
+    # (the default) keeps the exact delta light.  With samples > 1 the
+    # NEE average resolves the penumbra.
+    r_j = row["radius"]
+    ax = row["direction"] + jnp.zeros_like(p)
+    t1 = vmath.normalize(jnp.cross(ax, jnp.where(
+        jnp.abs(ax[..., 2:3]) < 0.9,
+        jnp.asarray([0.0, 0.0, 1.0]), jnp.asarray([1.0, 0.0, 0.0]))))
+    t2 = jnp.cross(ax, t1)
+    dx, dy = sample_disk_concentric(u1, u2)
+    p0 = (row["p0"] + (dx * r_j)[..., None] * t1
+          + (dy * r_j)[..., None] * t2)
+    dvec = p0 - p
+    d2 = jnp.maximum(vmath.dot(dvec, dvec), 1e-12)
+    dist = jnp.sqrt(d2)
+    out["wi"] = dvec / dist[..., None]
+    out["dist"] = dist
+    out["li"] = row["intensity"] / d2[..., None]
     cos_a = vmath.dot(-out["wi"], row["direction"])
     cs, ce = row["cos_start"], row["cos_end"]
     t = jnp.clip((cos_a - ce) / jnp.maximum(cs - ce, 1e-6), 0.0, 1.0)

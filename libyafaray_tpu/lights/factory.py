@@ -58,6 +58,11 @@ def light_from_params(params: ParamMap):
         row["spot_blend"] = blend
         row["intensity"] = tuple(color * power)
         row["is_delta"] = True
+        # soft shadows: emitter jitter disk radius (0 = hard delta)
+        if params.get_bool("soft_shadows", False):
+            row["radius"] = params.get_float("shadowFuzzyness", 1.0)
+            row["samples"] = max(row["samples"],
+                                 params.get_int("samples", 8))
 
     elif lt in ("sunlight", "sun"):
         row["ltype"] = LT_SUN

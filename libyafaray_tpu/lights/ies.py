@@ -1,10 +1,11 @@
 """IES photometric profile support (reference src/lights/ieslight.cc +
 include/utilities/iesUtils.h — SURVEY §2.6).
 
-Host side parses the IESNA LM-63 file into a vertical-angle intensity
-profile (azimuthally averaged — matching the reference's practical use for
-point-source luminaires); the device side modulates a point light's
-intensity by interpolating the profile at the emission angle.
+Host side parses the IESNA LM-63 file into a FULL (θ, φ) candela grid
+(LM-63 horizontal-symmetry rules expanded: 0°=axial, 90°=quadrant,
+180°=bilateral, 360°=full); the device side modulates a point light's
+intensity by bilinear interpolation at the emission angles, with the
+azimuth frame built deterministically around the light axis.
 """
 from __future__ import annotations
 
@@ -16,6 +17,7 @@ import jax.numpy as jnp
 log = logging.getLogger("libyafaray_tpu")
 
 PROFILE_RES = 91  # 2-degree vertical resolution, interpolated
+PROFILE_HRES = 73  # 5-degree azimuthal resolution (phi in [0, 360])
 
 
 def parse_ies(path: str) -> np.ndarray:
@@ -71,24 +73,72 @@ def parse_ies(path: str) -> np.ndarray:
     if candela.size < n_v * n_h:
         raise ValueError("truncated candela table")
     candela = candela.reshape(n_h, n_v) * mult
-    profile_v = candela.mean(axis=0)  # azimuthal average
+
+    # horizontal symmetry expansion (LM-63): the last horizontal angle
+    # declares the coverage
+    h_last = h_angles[-1] if n_h else 0.0
+    if n_h <= 1 or h_last == 0.0:
+        h_full = np.asarray([0.0, 360.0])
+        c_full = np.broadcast_to(candela[:1], (2, n_v))
+    elif abs(h_last - 90.0) < 1e-6:
+        h_full = np.concatenate([h_angles, 180.0 - h_angles[::-1][1:],
+                                 180.0 + h_angles[1:],
+                                 360.0 - h_angles[::-1][1:]])
+        c_full = np.concatenate([candela, candela[::-1][1:],
+                                 candela[1:], candela[::-1][1:]])
+    elif abs(h_last - 180.0) < 1e-6:
+        h_full = np.concatenate([h_angles, 360.0 - h_angles[::-1][1:]])
+        c_full = np.concatenate([candela, candela[::-1][1:]])
+    else:
+        h_full = h_angles
+        c_full = candela
 
     theta = np.linspace(0.0, 180.0, PROFILE_RES)
-    prof = np.interp(theta, v_angles, profile_v,
-                     left=profile_v[0], right=0.0)
-    peak = prof.max()
+    phi = np.linspace(0.0, 360.0, PROFILE_HRES)
+    # resample each horizontal slice over theta, then over phi
+    c_v = np.stack([
+        np.interp(theta, v_angles, c_full[h],
+                  left=c_full[h][0], right=0.0)
+        for h in range(c_full.shape[0])
+    ])  # (H_in, PROFILE_RES)
+    grid = np.stack([
+        np.interp(phi, h_full, c_v[:, t],
+                  left=c_v[0, t], right=c_v[-1, t])
+        for t in range(PROFILE_RES)
+    ])  # (PROFILE_RES, PROFILE_HRES)
+    peak = grid.max()
     if peak <= 0:
         raise ValueError("empty IES profile")
-    return (prof / peak).astype(np.float32)
+    return (grid / peak).astype(np.float32)
 
 
 def apply_ies_profile(profile, light_dir, wi):
-    """Modulate intensity by the profile at the angle between the light's
-    nadir axis (light_dir) and the emission direction (-wi).
-    profile: (PROFILE_RES,) device array; returns (N,) factor."""
-    cos_t = jnp.clip(jnp.sum(-wi * light_dir, axis=-1), -1.0, 1.0)
+    """Modulate intensity by the profile at the emission direction -wi.
+    profile: (PROFILE_RES,) vertical-only or (PROFILE_RES, PROFILE_HRES)
+    full (θ, φ) grid; returns (N,) factor.  The azimuth frame is a
+    deterministic ONB around the light axis (the reference fixes it from
+    the luminaire orientation; any consistent frame is equivalent up to
+    profile rotation)."""
+    from ..core import math as vmath
+
+    d = -wi
+    ld = light_dir + jnp.zeros_like(wi)
+    cos_t = jnp.clip(jnp.sum(d * ld, axis=-1), -1.0, 1.0)
     theta = jnp.arccos(cos_t)  # 0 = straight down the light axis
     x = theta / jnp.pi * (PROFILE_RES - 1)
     i0 = jnp.clip(x.astype(jnp.int32), 0, PROFILE_RES - 2)
     fx = x - i0
-    return profile[i0] * (1.0 - fx) + profile[i0 + 1] * fx
+    if profile.ndim == 1:
+        return profile[i0] * (1.0 - fx) + profile[i0 + 1] * fx
+    t1, t2 = vmath.build_onb(vmath.normalize(ld))
+    phi = jnp.arctan2(jnp.sum(d * t2, axis=-1),
+                      jnp.sum(d * t1, axis=-1))  # [-pi, pi]
+    y = (phi / (2.0 * jnp.pi) % 1.0) * (PROFILE_HRES - 1)
+    j0 = jnp.clip(y.astype(jnp.int32), 0, PROFILE_HRES - 2)
+    fy = y - j0
+    c00 = profile[i0, j0]
+    c10 = profile[i0 + 1, j0]
+    c01 = profile[i0, j0 + 1]
+    c11 = profile[i0 + 1, j0 + 1]
+    return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+            + (c01 * (1 - fx) + c11 * fx) * fy)

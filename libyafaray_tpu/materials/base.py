@@ -63,7 +63,7 @@ _SCALAR_COLS = [
     "diffuse_reflect", "specular_reflect", "transparency", "translucency",
     "emit_strength", "ior", "sigma", "exponent", "exp_u", "exp_v",
     "glossy_reflect", "dispersion_power", "blend_value", "mask_threshold",
-    "wireframe_amount", "tex_colorfac",
+    "wireframe_amount", "tex_colorfac", "bump_strength",
 ]
 _VEC3_COLS = [
     "diffuse_color", "mirror_color", "glossy_color", "filter_color",
@@ -87,6 +87,7 @@ def default_row() -> dict:
     row.update({c: False for c in _BOOL_COLS})
     row["mtype"] = MT_NULL
     row["ior"] = 1.0
+    row["bump_strength"] = 1.0
     row["diffuse_reflect"] = 1.0
     row["glossy_reflect"] = 1.0
     row["receive_shadows"] = True

@@ -127,6 +127,13 @@ def material_row_from_params(params: ParamMap, mat_name_to_id: dict,
                 if t in tex_name_to_id:
                     ti = tex_name_to_id[t]
                     node_to_tex[name] = ti
+                    # mapper-level bump strength (reference textureMapper
+                    # bump_strength; consumed by eval.bump_normal when
+                    # this node feeds the bump slot)
+                    bs = nd.get_float("bump_strength", -1.0)
+                    if bs >= 0.0 and params.get_str(
+                            "bump_shader", "") == name:
+                        row["bump_strength"] = bs
                     # record the mapper's coordinate transform (first use
                     # wins; reference allows per-use mappers — noted)
                     if ti not in texture_mappers:

@@ -350,7 +350,9 @@ def apply_textures(scene_arrays, static, row, sp):
 
 def bump_normal(scene_arrays, static, row, sp, strength: float = 0.02):
     """Perturb shading normals from the bump slot via central differences
-    of the texture (reference nodematerial evalDerivative bump)."""
+    of the texture (reference nodematerial evalDerivative bump).  The
+    per-material row["bump_strength"] (reference textureMapper
+    bump_strength) scales the fixed derivative-tap normalization."""
     if not getattr(static, "textures", ()):
         return sp["n"]
     n = sp["n"]
@@ -372,8 +374,9 @@ def bump_normal(scene_arrays, static, row, sp, strength: float = 0.02):
         tu, tv = vmath.build_onb(n)
         grad_u = (fu - f0) / du
         grad_v = (fv - f0) / dv
+        str_l = (strength * row["bump_strength"])[..., None]
         n_b = vmath.normalize(
-            n - strength * (grad_u[..., None] * tu + grad_v[..., None] * tv)
+            n - str_l * (grad_u[..., None] * tu + grad_v[..., None] * tv)
         )
         n = jnp.where(mask[..., None], n_b, n)
     return n

