@@ -113,3 +113,13 @@ def test_sharded_sppm_matches_single_device():
     img8 = render_sppm(cs, cfg, mesh=mesh).image
     assert np.isfinite(img8).all()
     assert np.allclose(img1, img8, atol=1e-4), np.abs(img1 - img8).max()
+
+
+def test_distributed_helpers_single_host():
+    """init_distributed degrades gracefully on a single host; global_mesh
+    spans the virtual device set."""
+    from libyafaray_tpu.parallel.distributed import global_mesh
+
+    mesh = global_mesh()
+    assert mesh.devices.size >= 8
+    assert mesh.axis_names == ("film",)
