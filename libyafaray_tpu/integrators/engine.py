@@ -157,7 +157,9 @@ def _shadow_transmission(scene_arrays, static, cfg, org, dirn, dist):
                  else scene_arrays["sfilt4_binary"])
         tr = pli.shadow_transmission_pallas(
             scene_arrays["stri_pack10"], scene_arrays["stri_cluster8"],
-            filt4, org, dirn, dist, n_tris=n_stris.shape[1])
+            filt4, org, dirn, dist,
+            n_tris=getattr(static, "n_stris_real", 0)
+            or n_stris.shape[1])
         return tr if tr_sph is None else tr * tr_sph
     tr = isect.shadow_transmission_brute(
         scene_arrays["stris"], filt, org, dirn, dist, chunk=static.chunk

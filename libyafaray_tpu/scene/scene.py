@@ -69,6 +69,7 @@ class SceneStatic:
     mat_families: tuple | None = None  # mtype codes present
     node_programs: tuple = ()  # compiled shader DAGs (textures/nodes.py)
     n_spheres: int = 0  # analytic sphere primitives
+    n_stris_real: int = 0  # shadow set, real count (tiny-kernel dispatch)
 
 
 @dataclass
@@ -599,6 +600,7 @@ class Scene:
         static = SceneStatic(
             n_materials=len(self.materials),
             n_tris=n_pad, n_tris_real=n_real, n_shadow_tris=ns_pad,
+            n_stris_real=ns_real,
             lights=light_statics, bg=bg_spec, intersector=intersector,
             chunk=chunk, shadow_bias=self.shadow_bias,
             ray_min_dist=self.ray_min_dist,

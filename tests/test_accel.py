@@ -120,6 +120,26 @@ def test_pallas_kernels_interpret_match_brute(soup, rays):
     pli.INTERPRET = True
     try:
         v0, e1, e2 = soup
+        # tiny path (<= TINY_TRIS: static unroll kernels)
+        v0s, e1s, e2s = v0[:48], e1[:48], e2[:48]
+        orgs, ds = rays
+        orgs, ds = orgs[:128], ds[:128]
+        pack_s, cl_s, _ = pli.build_tri_pack(v0s, e1s, e2s)
+        ts, tris, us, vs, hs = pli.closest_hit_pallas(
+            jnp.asarray(pack_s), jnp.asarray(cl_s), orgs, ds,
+            jnp.full((128,), 5e-5), jnp.full((128,), jnp.inf), n_tris=48)
+        v0p_s, e1p_s, e2p_s, _ = pad_triangles(v0s, e1s, e2s, 48)
+        hb_s = closest_hit_brute(dict(v0=jnp.asarray(v0p_s),
+                                      e1=jnp.asarray(e1p_s),
+                                      e2=jnp.asarray(e2p_s)),
+                                 orgs, ds, chunk=48)
+        assert np.array_equal(np.asarray(hs), np.asarray(hb_s.hit))
+        ms = np.asarray(hb_s.hit)
+        assert np.allclose(np.asarray(ts)[ms], np.asarray(hb_s.t)[ms],
+                           rtol=1e-4)
+        assert np.array_equal(np.asarray(tris)[ms],
+                              np.asarray(hb_s.tri)[ms])
+
         # >BT so there are multiple clusters; Morton order exercises the
         # orig-id remap row and the cluster-culling path
         v0, e1, e2 = v0[:400], e1[:400], e2[:400]
