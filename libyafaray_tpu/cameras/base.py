@@ -205,3 +205,45 @@ def pixel_cone(cam: Camera) -> tuple:
     if cam.cam_type == CAM_ANGULAR:
         return (cam.angle_deg * np.pi / 180.0) / cam.resx, 0.0
     return 2.0 * np.pi / cam.resx, 0.0  # equirectangular
+
+
+def project_to_camera(cam: Camera, p):
+    """Inverse of shoot_rays for light tracing (reference camera
+    `project`): world points (N,3) -> (px, py, cos_cam, dist, valid).
+    Perspective/architect and orthographic supported (the light-tracing
+    strategies the reference uses it for)."""
+    right = jnp.asarray(cam.right, jnp.float32)
+    up = jnp.asarray(cam.up, jnp.float32)
+    fwd = jnp.asarray(cam.fwd, jnp.float32)
+    org0 = jnp.asarray(cam.origin, jnp.float32)
+    aspect = cam.resy / cam.resx * cam.aspect_ratio
+
+    v = p - org0
+    dist = jnp.sqrt(jnp.maximum(vmath.dot(v, v), 1e-12))
+    if cam.cam_type == CAM_ORTHO:
+        x = vmath.dot(v, right) / cam.scale
+        y = vmath.dot(v, up) / (cam.scale * aspect)
+        z = vmath.dot(v, fwd)
+        px = (x + 0.5) * cam.resx
+        py = (0.5 - y) * cam.resy
+        valid = (z > 1e-4) & (px >= 0) & (px < cam.resx) \
+            & (py >= 0) & (py < cam.resy)
+        return px, py, jnp.ones_like(px), dist, valid
+    # perspective family: NDC u = focal·x/z, v·aspect = focal·y/z
+    z = vmath.dot(v, fwd)
+    safe_z = jnp.maximum(z, 1e-6)
+    u = cam.focal * vmath.dot(v, right) / safe_z
+    w = cam.focal * vmath.dot(v, up) / (safe_z * aspect)
+    px = (u + 0.5) * cam.resx
+    py = (0.5 - w) * cam.resy
+    cos_c = z / dist
+    valid = (z > 1e-4) & (px >= 0) & (px < cam.resx) \
+        & (py >= 0) & (py < cam.resy)
+    return px, py, cos_c, dist, valid
+
+
+def pixel_plane_area(cam: Camera) -> float:
+    """Area of one pixel on the NDC image plane (at distance `focal` for
+    perspective) — the light-tracing splat measure."""
+    aspect = cam.resy / cam.resx * cam.aspect_ratio
+    return (1.0 / cam.resx) * (aspect / cam.resy)

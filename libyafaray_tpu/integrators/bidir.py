@@ -1,0 +1,162 @@
+"""Bidirectional integrator — eye paths + light paths under a
+deterministic path-space partition.
+
+Reference role: src/integrators/bidirpath.cc (SURVEY §2.10; deprecated/
+experimental upstream).  Full Veach BDPT keeps every (s,t) strategy pair
+with pdf bookkeeping across both chains; this implementation keeps the
+part of it that actually changes what converges, with a TPU-friendly
+structure and NO cross-strategy pdf algebra:
+
+  * Path space is PARTITIONED deterministically by the caustic property
+    "the sub-path from the camera-visible diffuse vertex to the light is
+    all-specular with >= 1 specular vertex":
+      - EYE strategy (the wavefront path tracer) handles every
+        non-caustic family; its emission adds are ZEROED exactly on the
+        caustic family (spec_mask & after-diffuse lanes).
+      - LIGHT strategy (light tracing: photon walk + camera connection,
+        the t=1 BDPT strategies) handles exactly that family — photons
+        stored by the existing 'caustic'-mode shooting are, by
+        construction, its vertices.
+    Each family is covered by exactly one strategy, so the sum is
+    unbiased with no MIS weights to get wrong (weights are the 0/1
+    partition indicator).  This is where BDPT beats PT in practice:
+    LSDE caustics get light-traced instead of found by chance.
+
+  * Camera connections splat into the film's density layer (SPPM
+    pattern): value normalized by emitted-path count, occlusion by the
+    shared transparent-shadow walk, pixel projection via
+    cameras.project_to_camera.
+
+The light-tracing splat weight: a stored photon carries flux pcol
+(Σ ≈ Φ per emitted set); its camera connection estimates the pixel's
+mean radiance as
+    C = pcol · f(ω_in, ω_cam) · cosθ_x / d² · focal² /
+        (N_em · A_pix · cos³θ_cam)
+(the pixel-cone measure dω = A_pix·cos³θ_c/focal²; validated empirically
+against the path tracer in tests/test_bidir.py by running the same
+machinery over ALL diffuse vertices, where LT alone must reproduce the
+PT image).
+"""
+from __future__ import annotations
+
+import logging
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..cameras.base import (CAM_ORTHO, pixel_plane_area, project_to_camera)
+from ..core import math as vmath
+from ..film.imagefilm import film_init
+from ..materials import bsdf
+from ..materials.base import gather_rows
+from .config import RenderConfig
+from .engine import _shadow_transmission, make_sample_step
+from .photon_shoot import make_photon_pass
+from .photonmap import MAX_PHOTON_LANES, _compact_photons, _light_cdf
+from .render import RenderResult, device_put_scene
+
+log = logging.getLogger("libyafaray_tpu")
+
+
+def make_light_trace_pass(cscene, cfg: RenderConfig, mode: str = "caustic"):
+    """One light-tracing pass: shoot a photon wavefront, connect every
+    stored vertex to the camera, return (pixel splat plane (H,W,3),
+    n_emitted).  mode picks the stored-vertex family ('caustic' for the
+    bidirectional partition; 'diffuse' = all vertices, used by the
+    calibration test)."""
+    static = cscene.static
+    cam = cscene.camera
+    h, w = cfg.height, cfg.width
+    lanes = min(MAX_PHOTON_LANES,
+                max(4096, -(-cfg.photons // 4096) * 4096))
+    shoot_fn = make_photon_pass(static, cfg, lanes, cfg.photon_bounces,
+                                mode)
+    a_pix = pixel_plane_area(cam)
+    focal2 = (1.0 if cam.cam_type == CAM_ORTHO
+              else float(cam.focal) * float(cam.focal))
+
+    def connect(arrays, rec):
+        """Camera-connect the compacted photon record -> (H,W,3) plane of
+        UNnormalized splat sums (divide by n_emitted outside)."""
+        p = rec["pos"]
+        n_v = rec["normal"]
+        wi_in = rec["dir"]  # stored incoming (toward where it came from)
+        pcol = rec["power"]
+        valid = rec["valid"]
+
+        px, py, cos_c, dist, in_img = project_to_camera(cam, p)
+        cam_org = jnp.asarray(cam.origin, jnp.float32)
+        to_cam = vmath.normalize(cam_org - p)
+        cos_x = vmath.dot(n_v, to_cam)
+        ok = valid & in_img & (cos_x > 1e-6) & (cos_c > 1e-3)
+
+        row = gather_rows(arrays["materials"], rec["mat"])
+        f = bsdf.eval_bsdf(row, n_v, n_v, to_cam, wi_in,
+                           families=static.mat_families)
+        # visibility: vertex -> camera (transparent-shadow walk)
+        org_s = p + n_v * static.shadow_bias
+        tr = _shadow_transmission(arrays, static, cfg, org_s, to_cam, dist)
+
+        we = focal2 / (a_pix
+                       * jnp.maximum(cos_c, 1e-3) ** 3)
+        c = (pcol * f * tr
+             * (cos_x / jnp.maximum(dist * dist, 1e-9) * we)[..., None])
+        c = jnp.where(ok[..., None], c, 0.0)
+        xi = jnp.clip(px.astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(py.astype(jnp.int32), 0, h - 1)
+        plane = jnp.zeros((h, w, 3), jnp.float32)
+        return plane.at[yi, xi].add(c)
+
+    connect_j = jax.jit(connect)
+
+    def run(arrays, cdf_j, total_flux, seed):
+        shoot = jax.jit(shoot_fn)
+        rec = shoot(arrays, cdf_j, total_flux, jnp.uint32(seed))
+        rec = _compact_photons(rec)
+        return connect_j(arrays, rec), lanes
+
+    return run
+
+
+def render_bidirectional(cscene, cfg: RenderConfig, progress_cb=None):
+    """Eye passes (PT with the caustic family excluded) + light passes
+    (camera-connected caustic photons into the density layer)."""
+    arrays = device_put_scene(cscene)
+    static = cscene.static
+    h, w = cfg.height, cfg.width
+    t0 = time.perf_counter()
+
+    step = jax.jit(make_sample_step(static, cscene.camera, cfg,
+                                    mode="path", bd_exclude_caustics=True),
+                   donate_argnums=(1,))
+    cdf, total_flux = _light_cdf(static, arrays)
+    cdf_j = jnp.asarray(cdf)
+    lt = make_light_trace_pass(cscene, cfg, "caustic")
+
+    film = film_init(h, w)
+    film["rays"] = jnp.zeros((), jnp.float32)
+    flags = jnp.ones((h, w), jnp.bool_)
+    splat = jnp.zeros((h, w, 3), jnp.float32)
+    n_emitted = 0
+
+    t1 = time.perf_counter()
+    n_steps = max(1, cfg.aa_samples * cfg.aa_passes)
+    lt_passes = max(1, min(8, n_steps // 8)) if total_flux > 0 else 0
+    for s in range(n_steps):
+        film = step(arrays, film, flags)
+    for p in range(lt_passes):
+        plane, lanes = lt(arrays, cdf_j, total_flux, 4242 + p)
+        splat = splat + plane
+        n_emitted += lanes
+        if progress_cb:
+            progress_cb(p + 1, lt_passes)
+    if n_emitted:
+        film["density"] = splat / n_emitted
+    jax.block_until_ready(film["wsum"])
+    t2 = time.perf_counter()
+    return RenderResult(film, cfg, dict(
+        render_s=t2 - t1, total_s=t2 - t0, rays=float(film["rays"]),
+        lt_passes=lt_passes, lt_emitted=n_emitted,
+    ))

@@ -368,7 +368,8 @@ def _ambient_occlusion(scene_arrays, static, cfg, sp, row, wo, n_f,
 
 
 def make_sample_step(static, camera, cfg: RenderConfig,
-                     mode: str | None = None, caustic=None):
+                     mode: str | None = None, caustic=None,
+                     bd_exclude_caustics: bool = False):
     """Builds the jittable one-sample-per-pixel step function.
 
     mode: "path" (pathtracing) or "direct" (directlighting: continuation
@@ -378,6 +379,10 @@ def make_sample_step(static, camera, cfg: RenderConfig,
     estimate at the first diffuse vertex).  The photon pack itself rides
     in scene_arrays["pm_caustic"] (a jit argument — closing over it bakes
     it into the HLO, see ops/photon_flash).
+    bd_exclude_caustics: zero the emission adds of the caustic path
+    family (arrived via >=1 specular bounce after a diffuse vertex) —
+    the bidirectional integrator's light-tracing strategy covers exactly
+    that family (integrators/bidir.py partition).
     """
     mode = mode or ("path" if cfg.integrator == "pathtracing" else "direct")
     h, w = cfg.height, cfg.width
@@ -406,8 +411,8 @@ def make_sample_step(static, camera, cfg: RenderConfig,
         """One path vertex: intersect, add bg/emission (MIS), NEE, sample
         the continuation.  `state` carries the wavefront lanes."""
         (org, dirn, throughput, alive, spec_mask, prev_pdf, medium_sigma,
-         wavelength, cone_w, cone_spread, tag, L_refl, L_refr, L,
-         nrays) = state
+         wavelength, cone_w, cone_spread, tag, after_diffuse, L_refl,
+         L_refr, L, nrays) = state
 
         def addL(Lt, Lr1, Lr2, x, mask):
             # tagged accumulation for the reflect/refract render passes:
@@ -524,6 +529,11 @@ def make_sample_step(static, camera, cfg: RenderConfig,
             power_heuristic(prev_pdf, pdf_light_hit),
             1.0,
         )
+        if bd_exclude_caustics:
+            # caustic family (specular chain after a diffuse vertex hits
+            # the light) belongs to the light-tracing strategy
+            mis_w = jnp.where(is_light_tri & spec_mask & after_diffuse,
+                              0.0, mis_w)
         L, L_refl, L_refr = addL(L, L_refl, L_refr,
                                  throughput * emit * mis_w[..., None],
                                  alive)
@@ -654,10 +664,11 @@ def make_sample_step(static, camera, cfg: RenderConfig,
                 alive & smp["specular"] & ~smp["transmit"], 1,
                 jnp.where(alive & smp["specular"] & smp["transmit"], 2, 0),
             ).astype(jnp.int32)
+        after_diffuse = after_diffuse | (alive & ~smp["specular"] & ~pt)
         nrays = nrays + jnp.sum(alive.astype(jnp.float32))
         state = (org, dirn, throughput, alive, spec_mask, prev_pdf,
                  medium_sigma, wavelength, cone_w, cone_spread, tag,
-                 L_refl, L_refr, L, nrays)
+                 after_diffuse, L_refl, L_refr, L, nrays)
         if first:
             # primary-hit attributes for render passes / AOVs (§2.11)
             tu_dbg, tv_dbg = vmath.build_onb(n_sh)
@@ -704,6 +715,7 @@ def make_sample_step(static, camera, cfg: RenderConfig,
             jnp.full((n,), cone0_w, jnp.float32),  # ray-cone width
             jnp.full((n,), cone0_s, jnp.float32),  # ray-cone spread
             jnp.zeros((n,), jnp.int32),  # reflect/refract pass tag
+            jnp.zeros((n,), jnp.bool_),  # scattered off a diffuse vertex
             jnp.zeros((n, 3), jnp.float32),  # L via bounce-0 reflect
             jnp.zeros((n, 3), jnp.float32),  # L via bounce-0 refract
             jnp.zeros((n, 3), jnp.float32),  # L

@@ -69,8 +69,7 @@ def render_scene(scene: Scene, progress_cb=None,
 
         return render_debug(cscene, cfg)
     if cfg.integrator == "bidirectional":
-        log.warning("bidirectional integrator is deprecated upstream; "
-                    "rendering with pathtracing (parity note: SURVEY §2.10)")
-        cfg2 = RenderConfig(**{**cfg.__dict__, "integrator": "pathtracing"})
-        return render(cscene, cfg2, progress_cb=progress_cb)
+        from ..integrators.bidir import render_bidirectional
+
+        return render_bidirectional(cscene, cfg, progress_cb=progress_cb)
     raise ValueError(f"unknown integrator {cfg.integrator!r}")
