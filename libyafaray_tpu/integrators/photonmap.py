@@ -74,6 +74,27 @@ def _compact_photons(rec, pad_to: int = 4096):
     return out
 
 
+def compact_photons_device(rec, cap: int):
+    """Device-side photon compaction (no host round trip — the raw
+    record is lanes x bounce-slots ~ 10^6 rows, and shipping it through
+    this environment's device tunnel costs seconds PER PASS; SPPM pays
+    that every pass).  Scatters valid entries into a fixed cap-sized
+    buffer; overflow beyond `cap` is dropped (cap is sized to the
+    observed store rate)."""
+    valid = rec["valid"]
+    pos_idx = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    dest = jnp.where(valid & (pos_idx < cap), pos_idx, cap)
+    total = jnp.minimum(pos_idx[-1] + 1, cap)
+    out = {}
+    for k, v in rec.items():
+        if k == "valid":
+            continue
+        buf = jnp.zeros((cap + 1,) + v.shape[1:], v.dtype)
+        out[k] = buf.at[dest].set(v)[:cap]
+    out["valid"] = jnp.arange(cap) < total
+    return out
+
+
 def build_caustic_map(cscene, cfg: RenderConfig, arrays):
     """Caustic-only map for the path tracer's caustic_type=photon/both
     (reference createCausticMap shared by directlight & pathtracer).

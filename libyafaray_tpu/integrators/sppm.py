@@ -240,14 +240,26 @@ def render_sppm(cscene, cfg: RenderConfig, progress_cb=None, mesh=None):
     n_emitted_total = 0
 
     t1 = time.perf_counter()
+    # device-side compaction capacity: padded store-rate estimate from
+    # the first pass (host sync ONCE, then every pass stays on device)
+    from .photonmap import compact_photons_device
+
+    cap = None
+    comp = None
     for p in range(cfg.sppm_passes):
         film, hitpoints = eye(arrays, film, p)
         rec = shoot(arrays, cdf_j, total_flux, jnp.uint32(31337 + p))
-        from .photonmap import _compact_photons
+        if cap is None:
+            n_stored = int(jnp.sum(rec["valid"]))
+            cap = max(4096, -(-int(n_stored * 1.3) // 4096) * 4096)
+            # single traced compaction feeding the pack directly
+            def _comp_fn(r):
+                c = compact_photons_device(r, cap)
+                return make_photon_pack(c["pos"], c["valid"], c["dir"],
+                                        c["power"])
 
-        rec = _compact_photons(rec)
-        pack = make_photon_pack(rec["pos"], rec["valid"], rec["dir"],
-                                rec["power"])
+            comp = jax.jit(_comp_fn)
+        pack = comp(rec)
         r2, n_acc, tau = update_j(hitpoints, pack, r2, n_acc, tau,
                                   alpha=cfg.sppm_alpha)
         n_emitted_total += lanes

@@ -84,9 +84,10 @@ def test_sharded_photonmap_matches_single_device():
     s = parse_xml_file(SCENE)
     cfg = build_config(s)
     cfg = RenderConfig(**{**cfg.__dict__, "integrator": "photonmapping",
-                          "photons": 4096, "caustic_photons": 2048,
+                          "photons": 2048, "caustic_photons": 1024,
                           "fg_samples": 2, "aa_samples": 1, "aa_passes": 1,
-                          "width": 24, "height": 24, "raydepth": 2})
+                          "width": 16, "height": 16, "raydepth": 2,
+                          "photon_bounces": 3})
     cs = s.compile()
     img1 = render_photonmap(cs, cfg).image
     mesh = make_device_mesh(8)
@@ -105,8 +106,9 @@ def test_sharded_sppm_matches_single_device():
     s = parse_xml_file(SCENE)
     cfg = build_config(s)
     cfg = RenderConfig(**{**cfg.__dict__, "integrator": "SPPM",
-                          "sppm_photons": 4096, "sppm_passes": 2,
-                          "width": 24, "height": 24, "raydepth": 2})
+                          "sppm_photons": 2048, "sppm_passes": 2,
+                          "width": 16, "height": 16, "raydepth": 2,
+                          "photon_bounces": 3})
     cs = s.compile()
     img1 = render_sppm(cs, cfg).image
     mesh = make_device_mesh(8)
