@@ -53,27 +53,6 @@ def _light_cdf(static, arrays):
     return cdf, float(total)
 
 
-def _compact_photons(rec, pad_to: int = 4096):
-    """Host-side compaction of photon records: the shooting buffers carry
-    lanes x bounce-slots entries, mostly invalid; gathering over the full
-    buffer wastes memory and has faulted the TPU runtime at multi-million
-    sizes.  Keeps valid entries (padded to a block multiple)."""
-    rec_np = {k: np.asarray(v) for k, v in rec.items()}
-    valid = rec_np["valid"]
-    idx = np.nonzero(valid)[0]
-    n = len(idx)
-    n_pad = max(pad_to, -(-n // pad_to) * pad_to)
-    out = {}
-    for k, v in rec_np.items():
-        shape = (n_pad,) + v.shape[1:]
-        buf = np.zeros(shape, v.dtype)
-        buf[:n] = v[idx]
-        out[k] = jnp.asarray(buf)
-    out["valid"] = jnp.asarray(
-        np.arange(n_pad) < n)
-    return out
-
-
 def compact_photons_device(rec, cap: int):
     """Device-side photon compaction (no host round trip — the raw
     record is lanes x bounce-slots ~ 10^6 rows, and shipping it through
@@ -117,7 +96,9 @@ def build_caustic_map(cscene, cfg: RenderConfig, arrays):
              n_stored, lanes)
     if n_stored == 0:
         return None
-    rec = _compact_photons(rec)
+    cap = max(4096, -(-n_stored // 4096) * 4096)
+    rec = jax.jit(compact_photons_device, static_argnames=("cap",))(
+        rec, cap)
     pack = make_photon_pack(rec["pos"], rec["valid"], rec["dir"],
                             rec["power"])
     return pack, c_radius, lanes
@@ -171,7 +152,13 @@ def build_photon_maps(cscene, cfg: RenderConfig, arrays, mesh=None):
             recs.append(shoot(arrays, cdf_j, total_flux,
                               jnp.uint32(seed0 + p)))
         rec = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *recs)
-        return _compact_photons(rec), lanes * n_passes
+        # device-side compaction: the raw record is lanes x bounce-slots
+        # rows; only the store COUNT crosses to the host (also logged)
+        n_stored = int(jnp.sum(rec["valid"]))
+        cap = max(4096, -(-max(n_stored, 1) // 4096) * 4096)
+        return (jax.jit(compact_photons_device,
+                        static_argnames=("cap",))(rec, cap),
+                lanes * n_passes)
 
     t0 = time.perf_counter()
     rec_d, n_em_d = shoot_map(cfg.photons, "diffuse", 1000)
