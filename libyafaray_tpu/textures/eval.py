@@ -72,6 +72,42 @@ def sample_image_bilinear(img, u, v):
             + (c01 * (1 - fx) + c11 * fx) * fy)
 
 
+def _catmull_rom_w(f):
+    """Catmull-Rom weights for fractional offset f (N,): returns 4 weights
+    for taps at -1, 0, +1, +2."""
+    f2 = f * f
+    f3 = f2 * f
+    w0 = -0.5 * f3 + f2 - 0.5 * f
+    w1 = 1.5 * f3 - 2.5 * f2 + 1.0
+    w2 = -1.5 * f3 + 2.0 * f2 + 0.5 * f
+    w3 = 0.5 * f3 - 0.5 * f2
+    return w0, w1, w2, w3
+
+
+def sample_image_bicubic(img, u, v):
+    """Catmull-Rom bicubic sampling with repeat wrap (reference
+    imagetex.cc interpolate="bicubic"); exact at texel centers, linear
+    precision on ramps."""
+    h, w = img.shape[0], img.shape[1]
+    x = (u % 1.0) * w - 0.5
+    y = (v % 1.0) * h - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    wx = _catmull_rom_w(fx)
+    wy = _catmull_rom_w(fy)
+    out = 0.0
+    for j in range(4):
+        yj = (y0 + (j - 1)) % h
+        rowv = 0.0
+        for i in range(4):
+            xi = (x0 + (i - 1)) % w
+            rowv = rowv + wx[i][..., None] * img[yj, xi]
+        out = out + wy[j][..., None] * rowv
+    return out
+
+
 def sample_image_nearest(img, u, v):
     """Nearest-texel sampling (reference interpolate="none")."""
     h, w = img.shape[0], img.shape[1]
@@ -259,6 +295,8 @@ def sample_texture(scene_arrays, static, ti: int, sp, mapping_over=None):
         sampler = None
         if interp == "none":
             sampler = lambda uu, vv: sample_image_nearest(img, uu, vv)
+        elif interp == "bicubic":
+            sampler = lambda uu, vv: sample_image_bicubic(img, uu, vv)
         elif (interp.startswith("mipmap") and mips is not None
                 and sp.get("fp") is not None
                 and f"mip_{ti}" in scene_arrays):
