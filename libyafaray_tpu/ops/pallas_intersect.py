@@ -84,12 +84,14 @@ def morton_order(v0, e1, e2):
 
 
 def _pick_bt(t: int) -> int:
-    """Cluster width: small scenes use narrow tiles so a 32-tri Cornell
-    isn't padded to a 512-wide sweep (the lane waste was a measured 16x
-    on the benchmark box)."""
-    for bt in (128, 256):
-        if t <= bt * 2:
-            return bt
+    """Cluster width.  Small clusters = tight AABBs = effective culling;
+    the limit is the per-block cluster LIST in SMEM ((n_blocks, C) i32,
+    see _block_cluster_order) and grid-step count, so width grows with
+    scene size to keep C bounded (~256)."""
+    if t <= 32768:
+        return 128
+    if t <= 65536:
+        return 256
     return BT
 
 
@@ -272,6 +274,138 @@ def _inv_dir(dirn):
 
 
 SORT_MIN_CLUSTERS = 16  # sort rays only when culling has enough to skip
+FB_MIN_CLUSTERS = 4     # front-to-back cluster lists pay off above this
+
+
+def _block_cluster_order(org, dirn, tmin, tmax, cluster8, bq: int):
+    """Per-ray-block FRONT-TO-BACK active-cluster lists (plain JAX
+    prelude to the _fb kernels; the r2 design doc's scalar-prefetch
+    index-map plan, VERDICT r2 next-step #1).
+
+    For every BQ-ray block: slab-test each ray against every cluster
+    AABB, key each cluster by the block-min entry distance (inf when no
+    ray can enter), and argsort — active clusters come first, nearest
+    first.  The kernel then (a) visits only `count[i]` clusters per
+    block, (b) in an order that makes the per-ray best-t cull terminate
+    the sweep early for closest-hit queries.  Positions past the count
+    repeat the last active cluster id so the pipelined tri-tile DMA
+    sees an unchanged block index (no refetch) on the dead tail.
+
+    org/dirn/tmin/tmax are already ray-sorted and padded to a BQ
+    multiple.  Returns (order (B, C) i32, count (B,) i32).
+    """
+    n_cl = cluster8.shape[1]
+    b = org.shape[0] // bq
+    o = org.reshape(b, bq, 3)
+    iv = _inv_dir(dirn).reshape(b, bq, 3)
+    tmin_b = tmin.reshape(b, bq)
+    tmax_b = tmax.reshape(b, bq)
+    lo = cluster8[0:3].T  # (C,3)
+    hi = cluster8[3:6].T
+    keys = []
+    ch = 8  # cluster chunk bounds the (B, bq, ch, 3) intermediate
+    for c0 in range(0, n_cl, ch):
+        loc = lo[c0:c0 + ch]
+        hic = hi[c0:c0 + ch]
+        t0 = (loc[None, None] - o[:, :, None]) * iv[:, :, None]
+        t1 = (hic[None, None] - o[:, :, None]) * iv[:, :, None]
+        enter = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1),
+                            tmin_b[..., None])
+        exit_ = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=-1),
+                            tmax_b[..., None])
+        hit = enter <= exit_
+        keys.append(jnp.min(jnp.where(hit, enter, jnp.inf), axis=1))
+    key = jnp.concatenate(keys, axis=1)  # (B, C)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    count = jnp.sum(jnp.isfinite(key), axis=1).astype(jnp.int32)
+    jidx = jax.lax.broadcasted_iota(jnp.int32, (b, n_cl), 1)
+    last = jnp.take_along_axis(order, jnp.maximum(count - 1, 0)[:, None],
+                               axis=1)
+    order = jnp.where(jidx < jnp.maximum(count, 1)[:, None], order, last)
+    return order, count
+
+
+def _closest_kernel_fb(order_ref, count_ref, tri_ref, cl_ref, org_ref,
+                       dir_ref, inv_ref, tlim_ref,
+                       t_out, tri_out, u_out, v_out):
+    """Front-to-back variant of _closest_kernel: grid position j is a
+    POSITION in the block's active-cluster list, not a cluster id; the
+    tri tile arriving in tri_ref was index-mapped by order_ref[i, j]."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        t_out[:] = jnp.full_like(t_out, jnp.inf)
+        tri_out[:] = jnp.zeros_like(tri_out)
+        u_out[:] = jnp.zeros_like(u_out)
+        v_out[:] = jnp.zeros_like(v_out)
+
+    @pl.when(j < count_ref[i])
+    def _():
+        c = order_ref[i, j]
+        tmin, tmax = tlim_ref[:, 0:1], tlim_ref[:, 1:2]
+        # front-to-back early termination: once every ray's current
+        # best hit is nearer than this cluster's entry, the slab test
+        # fails for the whole block and the MT tile is skipped
+        any_hit = _slab_any(cl_ref, c, org_ref, inv_ref, tmin,
+                            jnp.minimum(tmax, t_out[:]))
+
+        @pl.when(any_hit > 0.0)
+        def _():
+            t, u, v, ok = _mt_tile(tri_ref, org_ref, dir_ref)
+            ok = ok & (t > tmin) & (t < tmax)
+            t_ok = jnp.where(ok, t, jnp.inf)
+            tile_min = jnp.min(t_ok, axis=1, keepdims=True)
+            kcol = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            kcand = jnp.where(ok & (t_ok <= tile_min), kcol, _BIG_I32)
+            k_min = jnp.min(kcand, axis=1, keepdims=True)
+            onehot = (kcand == k_min).astype(jnp.float32)
+            u_sel = jnp.sum(u * onehot, axis=1, keepdims=True)
+            v_sel = jnp.sum(v * onehot, axis=1, keepdims=True)
+            orig = jnp.sum(tri_ref[9:10, :] * onehot, axis=1,
+                           keepdims=True)
+
+            better = tile_min < t_out[:]
+            t_out[:] = jnp.where(better, tile_min, t_out[:])
+            tri_out[:] = jnp.where(better, orig.astype(jnp.int32),
+                                   tri_out[:])
+            u_out[:] = jnp.where(better, u_sel, u_out[:])
+            v_out[:] = jnp.where(better, v_sel, v_out[:])
+
+
+def _shadow_kernel_fb(order_ref, count_ref, tri_ref, cl_ref, logf_ref,
+                      org_ref, dir_ref, inv_ref, dist_ref, lg_out):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        lg_out[:] = jnp.zeros_like(lg_out)
+
+    @pl.when(j < count_ref[i])
+    def _():
+        c = order_ref[i, j]
+        dist = dist_ref[:, 0:1]
+        tmin = 5e-4
+        tmax = dist * (1.0 - 1e-4) - 5e-4
+        any_hit = _slab_any(cl_ref, c, org_ref, inv_ref,
+                            jnp.full_like(dist, tmin), tmax)
+        # opacity early-out: once every ray's log-transmission has
+        # saturated to opaque, later clusters can't change the result
+        not_done = jnp.max(lg_out[:]) > -79.0
+
+        @pl.when((any_hit > 0.0) & not_done)
+        def _():
+            t, _, _, ok = _mt_tile(tri_ref, org_ref, dir_ref)
+            okf = (ok & (t > tmin) & (t < tmax)).astype(jnp.float32)
+            lg = lg_out[:]
+            cols = []
+            for ci in range(3):
+                acc = jnp.sum(okf * logf_ref[ci:ci + 1, :], axis=1,
+                              keepdims=True)
+                cols.append(jnp.maximum(lg[:, ci:ci + 1] + acc, -80.0))
+            lg_out[:] = jnp.concatenate(cols, axis=1)
 
 
 def _spread_bits(x):
@@ -314,7 +448,8 @@ def closest_hit_pallas(tri_pack10, cluster8, org, dirn, tmin, tmax,
                                  n_tris=n_tris)
     n_cl = cluster8.shape[1]
     bt = tri_pack10.shape[1] // n_cl
-    sort = n_cl >= SORT_MIN_CLUSTERS
+    use_fb = n_cl >= FB_MIN_CLUSTERS
+    sort = use_fb or n_cl >= SORT_MIN_CLUSTERS
     if sort:
         perm, unperm = _ray_sort_perm(org, dirn)
         ray_pack = jnp.concatenate(
@@ -324,26 +459,51 @@ def closest_hit_pallas(tri_pack10, cluster8, org, dirn, tmin, tmax,
     (org_p, dir_p, inv_p, tlim), n = _pad_rays(
         [org, dirn, _inv_dir(dirn), jnp.stack([tmin, tmax], axis=1)])
     grid = (org_p.shape[0] // BQ, n_cl)
-    qspec = lambda c: pl.BlockSpec((BQ, c), lambda i, j: (i, 0),
-                                   memory_space=pltpu.VMEM)
-    t, tri, u, v = pl.pallas_call(
-        _closest_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((10, bt), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole cluster table
-            qspec(3), qspec(3), qspec(3), qspec(2),
-        ],
-        out_specs=[qspec(1)] * 4,
-        out_shape=[
-            jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.float32),
-            jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.int32),
-            jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.float32),
-            jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.float32),
-        ],
-        interpret=INTERPRET,
-    )(tri_pack10, cluster8, org_p, dir_p, inv_p, tlim)
+    out_shape = [
+        jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.float32),
+        jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.int32),
+        jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.float32),
+        jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.float32),
+    ]
+    if use_fb:
+        order, count = _block_cluster_order(
+            org_p, dir_p, tlim[:, 0], tlim[:, 1], cluster8, BQ)
+        qspec_fb = lambda c: pl.BlockSpec(
+            (BQ, c), lambda i, j, o_, c_: (i, 0),
+            memory_space=pltpu.VMEM)
+        t, tri, u, v = pl.pallas_call(
+            _closest_kernel_fb,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((10, bt),
+                                 lambda i, j, o_, c_: (0, o_[i, j]),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    qspec_fb(3), qspec_fb(3), qspec_fb(3), qspec_fb(2),
+                ],
+                out_specs=[qspec_fb(1)] * 4,
+            ),
+            out_shape=out_shape,
+            interpret=INTERPRET,
+        )(order, count, tri_pack10, cluster8, org_p, dir_p, inv_p, tlim)
+    else:
+        qspec = lambda c: pl.BlockSpec((BQ, c), lambda i, j: (i, 0),
+                                       memory_space=pltpu.VMEM)
+        t, tri, u, v = pl.pallas_call(
+            _closest_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((10, bt), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # cluster table
+                qspec(3), qspec(3), qspec(3), qspec(2),
+            ],
+            out_specs=[qspec(1)] * 4,
+            out_shape=out_shape,
+            interpret=INTERPRET,
+        )(tri_pack10, cluster8, org_p, dir_p, inv_p, tlim)
     if sort:
         # one packed un-permute gather; tri ids ride as f32 VALUES (exact
         # below 2^24 — a bitcast would produce denormals, which the TPU
@@ -369,7 +529,8 @@ def shadow_transmission_pallas(tri_pack10, cluster8, filt4, org, dirn,
                                          dist, n_tris=n_tris)
     n_cl = cluster8.shape[1]
     bt = tri_pack10.shape[1] // n_cl
-    sort = n_cl >= SORT_MIN_CLUSTERS
+    use_fb = n_cl >= FB_MIN_CLUSTERS
+    sort = use_fb or n_cl >= SORT_MIN_CLUSTERS
     if sort:
         perm, unperm = _ray_sort_perm(org, dirn)
         ray_pack = jnp.concatenate([org, dirn, dist[:, None]],
@@ -385,20 +546,48 @@ def shadow_transmission_pallas(tri_pack10, cluster8, filt4, org, dirn,
     # per-tri log filter rows; -80 (exp -> flushed 0) marks opaque
     logf4 = jnp.maximum(jnp.log(jnp.maximum(filt4, 1e-35)), -80.0)
     grid = (org_p.shape[0] // BQ, n_cl)
-    qspec = lambda c: pl.BlockSpec((BQ, c), lambda i, j: (i, 0),
-                                   memory_space=pltpu.VMEM)
-    tspec = lambda c: pl.BlockSpec((c, bt), lambda i, j: (0, j),
-                                   memory_space=pltpu.VMEM)
-    lg = pl.pallas_call(
-        _shadow_kernel,
-        grid=grid,
-        in_specs=[tspec(10),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
-                  tspec(4), qspec(3), qspec(3), qspec(3), qspec(1)],
-        out_specs=qspec(3),
-        out_shape=jax.ShapeDtypeStruct((org_p.shape[0], 3), jnp.float32),
-        interpret=INTERPRET,
-    )(tri_pack10, cluster8, logf4, org_p, dir_p, inv_p, dist_p)
+    out_shape = jax.ShapeDtypeStruct((org_p.shape[0], 3), jnp.float32)
+    if use_fb:
+        d = dist_p[:, 0]
+        order, count = _block_cluster_order(
+            org_p, dir_p, jnp.full_like(d, 5e-4),
+            d * (1.0 - 1e-4) - 5e-4, cluster8, BQ)
+        qspec_fb = lambda c: pl.BlockSpec(
+            (BQ, c), lambda i, j, o_, c_: (i, 0),
+            memory_space=pltpu.VMEM)
+        tspec_fb = lambda c: pl.BlockSpec(
+            (c, bt), lambda i, j, o_, c_: (0, o_[i, j]),
+            memory_space=pltpu.VMEM)
+        lg = pl.pallas_call(
+            _shadow_kernel_fb,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=grid,
+                in_specs=[tspec_fb(10),
+                          pl.BlockSpec(memory_space=pltpu.SMEM),
+                          tspec_fb(4), qspec_fb(3), qspec_fb(3),
+                          qspec_fb(3), qspec_fb(1)],
+                out_specs=qspec_fb(3),
+            ),
+            out_shape=out_shape,
+            interpret=INTERPRET,
+        )(order, count, tri_pack10, cluster8, logf4, org_p, dir_p,
+          inv_p, dist_p)
+    else:
+        qspec = lambda c: pl.BlockSpec((BQ, c), lambda i, j: (i, 0),
+                                       memory_space=pltpu.VMEM)
+        tspec = lambda c: pl.BlockSpec((c, bt), lambda i, j: (0, j),
+                                       memory_space=pltpu.VMEM)
+        lg = pl.pallas_call(
+            _shadow_kernel,
+            grid=grid,
+            in_specs=[tspec(10),
+                      pl.BlockSpec(memory_space=pltpu.SMEM),
+                      tspec(4), qspec(3), qspec(3), qspec(3), qspec(1)],
+            out_specs=qspec(3),
+            out_shape=out_shape,
+            interpret=INTERPRET,
+        )(tri_pack10, cluster8, logf4, org_p, dir_p, inv_p, dist_p)
     tr = jnp.exp(lg[:n])
     if sort:
         tr = tr[unperm]

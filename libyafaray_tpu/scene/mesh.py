@@ -22,6 +22,7 @@ class TriMesh:
     has_orco: bool = False
     obj_pass_index: int = 0
     vertices: list = field(default_factory=list)  # (x,y,z)
+    orcos: list = field(default_factory=list)  # explicit orco coords
     normals: list = field(default_factory=list)  # explicit addNormal calls
     faces: list = field(default_factory=list)  # (a,b,c, mat_id)
     face_uvs: list = field(default_factory=list)  # (uva, uvb, uvc) uv indices
@@ -30,8 +31,12 @@ class TriMesh:
     light_id: int = -1  # meshlight association
     visibility: str = "normal"  # normal|invisible|shadow_only|no_shadows
 
-    def add_vertex(self, x, y, z):
+    def add_vertex(self, x, y, z, ox=None, oy=None, oz=None):
+        """Append a vertex; optional explicit orco coordinates (the
+        reference streams them alongside positions when hasOrco)."""
         self.vertices.append((float(x), float(y), float(z)))
+        if ox is not None:
+            self.orcos.append((float(ox), float(oy), float(oz)))
 
     def add_normal(self, x, y, z):
         self.normals.append((float(x), float(y), float(z)))
@@ -121,11 +126,30 @@ def finalize_mesh(mesh: TriMesh):
     else:
         corner_uv = np.zeros((len(faces), 3, 2), np.float32)
 
+    # local coords = the streamed (pre-instance-transform) positions;
+    # orco = explicit streamed orco when given, else the Blender-style
+    # default: local coords normalized to [-1,1] over the mesh bbox
+    # (reference meshtypes orco semantics — texco "object"/"orco" must
+    # be invariant under instance transforms)
+    local = np.stack([p0, p1, p2], axis=1)
+    if mesh.has_orco and len(mesh.orcos) == len(verts):
+        ov = np.asarray(mesh.orcos, np.float64)
+        orco = np.stack([ov[faces[:, 0]], ov[faces[:, 1]],
+                         ov[faces[:, 2]]], axis=1)
+    else:
+        bmin = verts.min(axis=0)
+        bmax = verts.max(axis=0)
+        ctr = 0.5 * (bmin + bmax)
+        ext = np.maximum(0.5 * (bmax - bmin), 1e-12)
+        orco = (local - ctr) / ext
+
     return dict(
-        pos=np.stack([p0, p1, p2], axis=1).astype(np.float32),  # (T,3,3)
+        pos=local.astype(np.float32).copy(),  # (T,3,3)
         normal=corner_n.astype(np.float32),
         geo_n=gn_unit.astype(np.float32),
         uv=corner_uv.astype(np.float32),
+        local=local.astype(np.float32),
+        orco=orco.astype(np.float32),
         mat=mats,
         light_id=np.full(len(faces), mesh.light_id, np.int32),
         visibility=mesh.visibility,
@@ -214,6 +238,9 @@ def make_sphere_mesh(center, radius, mat_id, subdiv: int = 3) -> dict:
         normal=nrm.astype(np.float32),
         geo_n=gn.astype(np.float32),
         uv=uv.astype(np.float32),
+        # local = sphere-centered coords; orco = unit-sphere coords
+        local=(verts[faces] * radius).astype(np.float32),
+        orco=nrm.astype(np.float32),
         mat=np.full(T, mat_id, np.int32),
         light_id=np.full(T, -1, np.int32),
         visibility="normal",

@@ -70,6 +70,8 @@ class SceneStatic:
     node_programs: tuple = ()  # compiled shader DAGs (textures/nodes.py)
     n_spheres: int = 0  # analytic sphere primitives
     n_stris_real: int = 0  # shadow set, real count (tiny-kernel dispatch)
+    need_orco: bool = False   # some texco is orco/object -> gather pack
+    need_window: bool = False  # some texco is window -> raster projection
 
 
 @dataclass
@@ -316,6 +318,19 @@ class Scene:
             shadow_blocks = blocks[:1]
         vis_blocks = [b for _, b in vis_pairs]
 
+        # blocks built outside finalize_mesh (light panels, fallback,
+        # extra blocks) default to local=pos / bbox-normalized orco
+        for b in blocks:
+            if "local" not in b:
+                b["local"] = b["pos"]
+            if "orco" not in b:
+                lp = b["local"]
+                bmin = lp.reshape(-1, 3).min(axis=0)
+                bmax = lp.reshape(-1, 3).max(axis=0)
+                ctr = 0.5 * (bmin + bmax)
+                ext = np.maximum(0.5 * (bmax - bmin), 1e-12)
+                b["orco"] = ((lp - ctr) / ext).astype(np.float32)
+
         def cat(bs, key):
             return np.concatenate([b[key] for b in bs], axis=0)
 
@@ -477,9 +492,35 @@ class Scene:
         w_area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
         uv_density = np.sqrt(uv_area / np.maximum(w_area, 1e-12))
 
+        # true surface derivatives dPdU/dPdV (reference surface.h
+        # surfacePoint_t, SURVEY §2.2): solve [e1;e2] = [[du1,dv1],
+        # [du2,dv2]]·[dPdU;dPdV] per triangle; degenerate UVs (no UV
+        # layer, zero uv area) fall back to an ONB of the geometric
+        # normal so downstream consumers (EWA footprints, NU/NV debug,
+        # aniso tangents) always see a valid frame
+        du1 = uv_e1[:, 0]
+        dv1 = uv_e1[:, 1]
+        du2 = uv_e2[:, 0]
+        dv2 = uv_e2[:, 1]
+        uv_det = du1 * dv2 - dv1 * du2
+        ok_uv = np.abs(uv_det) > 1e-12
+        inv_det = 1.0 / np.where(ok_uv, uv_det, 1.0)
+        dpdu = (dv2[:, None] * e1 - dv1[:, None] * e2) * inv_det[:, None]
+        dpdv = (-du2[:, None] * e1 + du1[:, None] * e2) * inv_det[:, None]
+        # ONB fallback (branchless Duff construction, matches core.math)
+        gs = np.where(geo_n[:, 2] >= 0.0, 1.0, -1.0)
+        ga = -1.0 / (gs + geo_n[:, 2])
+        gb = geo_n[:, 0] * geo_n[:, 1] * ga
+        onb_u = np.stack([1.0 + gs * geo_n[:, 0] ** 2 * ga, gs * gb,
+                          -gs * geo_n[:, 0]], axis=1)
+        onb_v = np.stack([gb, gs + geo_n[:, 1] ** 2 * ga,
+                          -geo_n[:, 1]], axis=1)
+        dpdu = np.where(ok_uv[:, None], dpdu, onb_u).astype(np.float32)
+        dpdv = np.where(ok_uv[:, None], dpdv, onb_v).astype(np.float32)
+
         # packed per-triangle shading attributes: ONE gather per hit instead
-        # of six (pos 9, normal 9, uv 6, geo_n 3, mat 1, light_id 1,
-        # uv_density 1 = 30)
+        # of eight (pos 9, normal 9, uv 6, geo_n 3, mat 1, light_id 1,
+        # uv_density 1, dPdU 3, dPdV 3 = 36)
         tri_shade_pack = np.concatenate([
             pos.reshape(n_real, 9).astype(np.float32),
             normal.reshape(n_real, 9).astype(np.float32),
@@ -488,11 +529,34 @@ class Scene:
             mat[:, None].astype(np.float32),
             light_id[:, None].astype(np.float32),
             uv_density[:, None].astype(np.float32),
+            dpdu, dpdv,
         ], axis=1)
         # packed winner geometry for the intersector's barycentric recompute
         tri_geom_pack = np.concatenate(
             [v0.astype(np.float32), e1.astype(np.float32),
              e2.astype(np.float32)], axis=1)
+
+        # which texture coordinate spaces does this scene's shading
+        # actually need?  (texco orco/object need the per-corner
+        # object-space pack; window needs the camera raster projection)
+        texcos = {m[0] for m in (
+            self.texture_mappers.get(i, ("uv",))
+            for i in range(len(self.textures)))}
+        for prog in self.node_programs:
+            for nd in prog:
+                if getattr(nd, "mapping", ()):
+                    texcos.add(nd.mapping[0])
+        need_orco = bool(texcos & {"orco", "object"})
+        need_window = "window" in texcos
+        tri_orco_pack = None
+        if need_orco:
+            local = cat(vis_blocks, "local")  # (T,3,3)
+            orco = cat(vis_blocks, "orco")
+            # (T, 18): orco corners 0:9, local (object-space) corners 9:18
+            tri_orco_pack = np.concatenate([
+                orco.reshape(n_real, 9).astype(np.float32),
+                local.reshape(n_real, 9).astype(np.float32),
+            ], axis=1)
         # Clustered packs for the pallas kernels: (10, T) v0|e1|e2|orig_id
         # rows in Morton order + per-cluster AABBs (cluster culling — the
         # dense path's replacement for tree traversal)
@@ -515,6 +579,8 @@ class Scene:
             tris=dict(v0=v0p.astype(np.float32), e1=e1p.astype(np.float32),
                       e2=e2p.astype(np.float32)),
             tri_shade_pack=tri_shade_pack,
+            **({"tri_orco_pack": tri_orco_pack}
+               if tri_orco_pack is not None else {}),
             tri_geom_pack=tri_geom_pack,
             tri_pack10=tri_pack10,
             tri_cluster8=tri_cluster8,
@@ -616,6 +682,8 @@ class Scene:
             mat_families=tuple(sorted(
                 {r["mtype"] for r in self.materials})),
             n_spheres=len(self.analytic_spheres),
+            need_orco=need_orco,
+            need_window=need_window,
         )
         cam = next(iter(self.cameras.values())) if self.cameras else Camera()
         cam_name = self.render_params.get_str("camera_name", "")

@@ -168,11 +168,27 @@ def build_attenuation_grids(volumes, static, scene_arrays, cfg, shadow_fn):
             lrow = lightmod.light_row(scene_arrays["lights"], li)
             from ..integrators.engine import _LIGHT_SAMPLERS
 
-            u = jnp.full((n,), 0.5, jnp.float32)
-            smp = _LIGHT_SAMPLERS[lstat.ltype](lrow, p, u, u)
-            occ = shadow_fn(p, smp["wi"], smp["dist"])
-            t_med = transmittance(volumes, p, smp["wi"], smp["dist"])
-            att = jnp.mean(occ, axis=-1) * t_med
+            if lstat.is_delta:
+                # delta lights have a single emitter point — one sample
+                # is exact
+                u_set = ((0.5, 0.5),)
+            else:
+                # area-class lights: average the baked cell over a small
+                # stratified emitter grid — a single fixed u=0.5 sample
+                # collapsed volumetric shadows to a point emitter (no
+                # penumbra) and shifted results vs the unoptimized path
+                # (ADVICE r2)
+                u_set = tuple((ux / 2.0 + 0.25, uy / 2.0 + 0.25)
+                              for ux in range(2) for uy in range(2))
+            att = jnp.zeros((n,), jnp.float32)
+            for (ux, uy) in u_set:
+                u1 = jnp.full((n,), ux, jnp.float32)
+                u2 = jnp.full((n,), uy, jnp.float32)
+                smp = _LIGHT_SAMPLERS[lstat.ltype](lrow, p, u1, u2)
+                occ = shadow_fn(p, smp["wi"], smp["dist"])
+                t_med = transmittance(volumes, p, smp["wi"], smp["dist"])
+                att = att + jnp.mean(occ, axis=-1) * t_med
+            att = att / len(u_set)
             out[f"vol_att_{vi}_{li}"] = att.reshape(g, g, g)
     return out
 
