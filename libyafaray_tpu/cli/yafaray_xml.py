@@ -47,6 +47,9 @@ def main(argv=None):
                     help="print one-line JSON render stats")
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--devices", type=int, default=None, metavar="N",
+                    help="accelerators to use (default: all visible; "
+                         "1 disables the multi-device film mesh)")
     args = ap.parse_args(argv)
 
     level = dict(mute=logging.CRITICAL, error=logging.ERROR,
@@ -92,7 +95,8 @@ def main(argv=None):
         import jax
 
         jax.profiler.start_trace(args.profile)
-    result = render_scene(scene, progress_cb=progress, film_path=args.film)
+    result = render_scene(scene, progress_cb=progress, film_path=args.film,
+                          n_devices=args.devices)
     if args.profile:
         import jax
 

@@ -168,9 +168,15 @@ def make_light_trace_pass(cscene, cfg: RenderConfig, mode: str = "caustic"):
     return run
 
 
-def render_bidirectional(cscene, cfg: RenderConfig, progress_cb=None):
+def render_bidirectional(cscene, cfg: RenderConfig, progress_cb=None,
+                         film_path: str | None = None):
     """Eye passes (PT with the caustic family excluded) + light passes
-    (camera-connected caustic photons into the density layer)."""
+    (camera-connected caustic photons into the density layer).
+
+    film_path + cfg.film_save_load: resume at light-pass granularity —
+    the checkpoint stores the film after the eye phase plus the splat
+    accumulator and emitted count (seeds are pass-indexed, so the
+    photon stream continues deterministically)."""
     arrays = device_put_scene(cscene)
     static = cscene.static
     h, w = cfg.height, cfg.width
@@ -195,14 +201,45 @@ def render_bidirectional(cscene, cfg: RenderConfig, progress_cb=None):
     # (one LT pass per 4 eye steps, uncapped — the r2 min(8, ...) cap
     # froze LT quality regardless of spp, VERDICT Weak #8)
     lt_passes = max(1, n_steps // 4) if total_flux > 0 else 0
-    for s in range(n_steps):
-        film = step(arrays, film, flags)
-    for p in range(lt_passes):
+
+    start_lt = 0
+    eye_done = False
+    save_on = (cfg.film_save_load in ("save", "load-save")
+               or cfg.autosave_interval_type == "pass") and film_path
+    if cfg.film_save_load in ("load", "load-save") and film_path:
+        from ..film.imagefilm import film_load
+
+        loaded = film_load(film_path, {"cfg": repr(cfg)})
+        if loaded is not None:
+            lf, start_lt = loaded
+            splat = lf.pop("bd_splat")
+            n_emitted = int(np.asarray(lf.pop("bd_nem")))
+            film = {k: lf.get(k, v) for k, v in film.items()}
+            eye_done = True
+            log.info("bidir film resume: %s at light pass %d", film_path,
+                     start_lt)
+
+    def _save(p):
+        from ..film.imagefilm import film_save
+
+        jax.block_until_ready(film["wsum"])
+        film_save(film_path, dict(film, bd_splat=splat,
+                                  bd_nem=np.asarray(n_emitted)),
+                  {"cfg": repr(cfg)}, p)
+
+    if not eye_done:
+        for s in range(n_steps):
+            film = step(arrays, film, flags)
+        if save_on:
+            _save(0)
+    for p in range(start_lt, lt_passes):
         plane, lanes = lt(arrays, cdf_j, total_flux, 4242 + p)
         splat = splat + plane
         n_emitted += lanes
         if progress_cb:
             progress_cb(p + 1, lt_passes)
+        if save_on:
+            _save(p + 1)
     if n_emitted:
         film["density"] = splat / n_emitted
     jax.block_until_ready(film["wsum"])

@@ -482,7 +482,11 @@ def make_photon_sample_step(cscene, cfg: RenderConfig, grids, mesh=None):
 
 
 def render_photonmap(cscene, cfg: RenderConfig, progress_cb=None,
-                     mesh=None):
+                     mesh=None, film_path: str | None = None):
+    """film_path + cfg.film_save_load/autosave: pass-granular film
+    resume (reference imagefilm film save/load, SURVEY §5.4).  The
+    photon maps themselves are rebuilt deterministically at preprocess
+    (same seeds), so only the film needs to persist."""
     import time as _t
 
     if mesh is not None:
@@ -516,10 +520,19 @@ def render_photonmap(cscene, cfg: RenderConfig, progress_cb=None,
             k, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())))
             for k, v in film.items()}
         flags = jax.device_put(flags, fs["flags"])
-    from ..film.imagefilm import compute_aa_flags
+    from ..film.imagefilm import compute_aa_flags, film_load, film_save
+
+    start_pass = 0
+    if cfg.film_save_load in ("load", "load-save") and film_path:
+        loaded = film_load(film_path, {"cfg": repr(cfg)})
+        if loaded is not None:
+            lf, start_pass = loaded
+            film = {k: lf.get(k, v) for k, v in film.items()}
+            log.info("photonmap film resume: %s at pass %d", film_path,
+                     start_pass)
 
     t1 = _t.perf_counter()
-    for p in range(cfg.aa_passes):
+    for p in range(start_pass, cfg.aa_passes):
         fl = flags if p == 0 else compute_aa_flags(
             film, cfg.aa_threshold, cfg.aa_dark_detection,
             cfg.aa_dark_factor, cfg.aa_detect_color_noise)
@@ -528,6 +541,11 @@ def render_photonmap(cscene, cfg: RenderConfig, progress_cb=None,
         if progress_cb:
             jax.block_until_ready(film["wsum"])
             progress_cb(p + 1, cfg.aa_passes)
+        if (cfg.autosave_interval_type == "pass"
+                or cfg.film_save_load in ("save", "load-save")) and \
+                film_path:
+            jax.block_until_ready(film["wsum"])
+            film_save(film_path, film, {"cfg": repr(cfg)}, p + 1)
     jax.block_until_ready(film["wsum"])
     t2 = _t.perf_counter()
     return RenderResult(film, cfg, dict(

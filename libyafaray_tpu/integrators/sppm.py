@@ -160,11 +160,18 @@ def flux_update(hitpoints, pack, r2, n_acc, tau, alpha: float):
     return r2_new, n_new, tau_new
 
 
-def render_sppm(cscene, cfg: RenderConfig, progress_cb=None, mesh=None):
+def render_sppm(cscene, cfg: RenderConfig, progress_cb=None, mesh=None,
+                film_path: str | None = None):
     """mesh: optional Mesh — hitpoints/film sharded by pixel rows, photon
     shooting sharded by lane, photon pack replicated (the all-gather rides
     the host compaction); every jit below inherits the placements via
-    GSPMD propagation (SURVEY §5.8)."""
+    GSPMD propagation (SURVEY §5.8).
+
+    film_path + cfg.film_save_load: pass-granular resume — SURVEY §5.4
+    names long SPPM runs as THE film-resume use case.  The checkpoint
+    carries the film plus the progressive state (R², N, τ, emitted
+    count); photon-pass seeds are keyed by the pass index, so a resumed
+    run continues the same deterministic photon stream."""
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -238,6 +245,28 @@ def render_sppm(cscene, cfg: RenderConfig, progress_cb=None, mesh=None):
         n_acc = jax.device_put(n_acc, _vec)
         tau = jax.device_put(tau, _vec)
     n_emitted_total = 0
+    start_pass = 0
+    if cfg.film_save_load in ("load", "load-save") and film_path:
+        from ..film.imagefilm import film_load
+
+        loaded = film_load(film_path, {"cfg": repr(cfg)})
+        if loaded is not None:
+            lf, start_pass = loaded
+            r2 = lf.pop("sppm_r2")
+            n_acc = lf.pop("sppm_n")
+            tau = lf.pop("sppm_tau")
+            n_emitted_total = int(np.asarray(lf.pop("sppm_nem")))
+            film = {k: lf.get(k, v) for k, v in film.items()}
+            log.info("SPPM film resume: %s at pass %d (%d photons "
+                     "emitted)", film_path, start_pass, n_emitted_total)
+
+    def _save(p):
+        from ..film.imagefilm import film_save
+
+        jax.block_until_ready(tau)
+        state = dict(film, sppm_r2=r2, sppm_n=n_acc, sppm_tau=tau,
+                     sppm_nem=np.asarray(n_emitted_total))
+        film_save(film_path, state, {"cfg": repr(cfg)}, p)
 
     t1 = time.perf_counter()
     # device-side compaction capacity: padded store-rate estimate from
@@ -246,7 +275,7 @@ def render_sppm(cscene, cfg: RenderConfig, progress_cb=None, mesh=None):
 
     cap = None
     comp = None
-    for p in range(cfg.sppm_passes):
+    for p in range(start_pass, cfg.sppm_passes):
         film, hitpoints = eye(arrays, film, p)
         rec = shoot(arrays, cdf_j, total_flux, jnp.uint32(31337 + p))
         if cap is None:
@@ -266,6 +295,10 @@ def render_sppm(cscene, cfg: RenderConfig, progress_cb=None, mesh=None):
         if progress_cb:
             jax.block_until_ready(tau)
             progress_cb(p + 1, cfg.sppm_passes)
+        if (cfg.autosave_interval_type == "pass"
+                or cfg.film_save_load in ("save", "load-save")) and \
+                film_path:
+            _save(p + 1)
 
     # density layer: τ/(πR²·N_emitted); direct part is the film average
     dens = tau / (np.pi * jnp.maximum(r2, 1e-12)[..., None]

@@ -86,8 +86,13 @@ def morton_order(v0, e1, e2):
 def _pick_bt(t: int) -> int:
     """Cluster width.  Small clusters = tight AABBs = effective culling;
     the limit is the per-block cluster LIST in SMEM ((n_blocks, C) i32,
-    see _block_cluster_order) and grid-step count, so width grows with
-    scene size to keep C bounded (~256)."""
+    see _block_cluster_order), so width grows with scene size to keep C
+    bounded (~256).  LIBYAF_BT env overrides for experiments."""
+    import os
+
+    ov = os.environ.get("LIBYAF_BT")
+    if ov:
+        return int(ov)
     if t <= 32768:
         return 128
     if t <= 65536:
@@ -325,34 +330,78 @@ def _block_cluster_order(org, dirn, tmin, tmax, cluster8, bq: int):
     return order, count
 
 
-def _closest_kernel_fb(order_ref, count_ref, tri_ref, cl_ref, org_ref,
-                       dir_ref, inv_ref, tlim_ref,
-                       t_out, tri_out, u_out, v_out):
-    """Front-to-back variant of _closest_kernel: grid position j is a
-    POSITION in the block's active-cluster list, not a cluster id; the
-    tri tile arriving in tri_ref was index-mapped by order_ref[i, j]."""
+def _stream_pipeline(cnt, get_dma, process):
+    """Two-slot software pipeline over a block's cluster list with
+    STATIC slot indices (a dynamic first-dim VMEM index per iteration
+    lowers to per-step copies in Mosaic).  get_dma(slot, j) returns the
+    copy descriptor; process(slot, j) consumes a landed tile."""
+
+    @pl.when(cnt > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body(jj, _):
+        j0 = 2 * jj
+
+        @pl.when(j0 < cnt)
+        def _():
+            @pl.when(j0 + 1 < cnt)
+            def _():
+                get_dma(1, j0 + 1).start()
+
+            get_dma(0, j0).wait()
+            process(0, j0)
+
+        @pl.when(j0 + 1 < cnt)
+        def _():
+            @pl.when(j0 + 2 < cnt)
+            def _():
+                get_dma(0, j0 + 2).start()
+
+            get_dma(1, j0 + 1).wait()
+            process(1, j0 + 1)
+
+        return 0
+
+    jax.lax.fori_loop(0, (cnt + 1) // 2, body, 0)
+
+
+def _closest_kernel_stream(order_ref, count_ref, tri_hbm, cl_ref, org_ref,
+                           dir_ref, inv_ref, tlim_ref,
+                           t_out, tri_out, u_out, v_out, tri_buf, sems):
+    """Streaming front-to-back kernel: ONE grid step per ray block; the
+    block's active-cluster list (order_ref/count_ref, scalar-prefetched)
+    is walked by an in-kernel pipeline that double-buffers each
+    (16, bt) triangle tile HBM->VMEM with explicit DMA.  This removes
+    the measured ~4.5 us fixed cost per Pallas grid step that made a
+    (blocks x clusters) grid regress at fine cluster widths — the grid
+    is n_blocks steps total, and skipped clusters cost one scalar
+    branch, not a grid step."""
     i = pl.program_id(0)
-    j = pl.program_id(1)
+    cnt = count_ref[i]
+    bt = tri_buf.shape[-1]
+    t_out[:] = jnp.full_like(t_out, jnp.inf)
+    tri_out[:] = jnp.zeros_like(tri_out)
+    u_out[:] = jnp.zeros_like(u_out)
+    v_out[:] = jnp.zeros_like(v_out)
+    tmin, tmax = tlim_ref[:, 0:1], tlim_ref[:, 1:2]
 
-    @pl.when(j == 0)
-    def _():
-        t_out[:] = jnp.full_like(t_out, jnp.inf)
-        tri_out[:] = jnp.zeros_like(tri_out)
-        u_out[:] = jnp.zeros_like(u_out)
-        v_out[:] = jnp.zeros_like(v_out)
-
-    @pl.when(j < count_ref[i])
-    def _():
+    def get_dma(slot, j):
         c = order_ref[i, j]
-        tmin, tmax = tlim_ref[:, 0:1], tlim_ref[:, 1:2]
-        # front-to-back early termination: once every ray's current
-        # best hit is nearer than this cluster's entry, the slab test
-        # fails for the whole block and the MT tile is skipped
+        return pltpu.make_async_copy(
+            tri_hbm.at[:, pl.ds(c * bt, bt)], tri_buf.at[slot],
+            sems.at[slot])
+
+    def process(slot, j):
+        c = order_ref[i, j]
+        # front-to-back early termination: once every ray's best hit is
+        # nearer than this cluster's entry the whole MT tile is skipped
         any_hit = _slab_any(cl_ref, c, org_ref, inv_ref, tmin,
                             jnp.minimum(tmax, t_out[:]))
 
         @pl.when(any_hit > 0.0)
         def _():
+            tri_ref = tri_buf[slot]
             t, u, v, ok = _mt_tile(tri_ref, org_ref, dir_ref)
             ok = ok & (t > tmin) & (t < tmax)
             t_ok = jnp.where(ok, t, jnp.inf)
@@ -373,22 +422,31 @@ def _closest_kernel_fb(order_ref, count_ref, tri_ref, cl_ref, org_ref,
             u_out[:] = jnp.where(better, u_sel, u_out[:])
             v_out[:] = jnp.where(better, v_sel, v_out[:])
 
+    _stream_pipeline(cnt, get_dma, process)
 
-def _shadow_kernel_fb(order_ref, count_ref, tri_ref, cl_ref, logf_ref,
-                      org_ref, dir_ref, inv_ref, dist_ref, lg_out):
+
+def _shadow_kernel_stream(order_ref, count_ref, tri_hbm, cl_ref, org_ref,
+                          dir_ref, inv_ref, dist_ref, lg_out, tri_buf,
+                          sems):
+    """Streaming shadow kernel over a (16, T) pack (tri rows 0:10 +
+    rgb log-filter rows 10:13 + pad), same structure as
+    _closest_kernel_stream."""
     i = pl.program_id(0)
-    j = pl.program_id(1)
+    cnt = count_ref[i]
+    bt = tri_buf.shape[-1]
+    lg_out[:] = jnp.zeros_like(lg_out)
+    dist = dist_ref[:, 0:1]
+    tmin = 5e-4
+    tmax = dist * (1.0 - 1e-4) - 5e-4
 
-    @pl.when(j == 0)
-    def _():
-        lg_out[:] = jnp.zeros_like(lg_out)
-
-    @pl.when(j < count_ref[i])
-    def _():
+    def get_dma(slot, j):
         c = order_ref[i, j]
-        dist = dist_ref[:, 0:1]
-        tmin = 5e-4
-        tmax = dist * (1.0 - 1e-4) - 5e-4
+        return pltpu.make_async_copy(
+            tri_hbm.at[:, pl.ds(c * bt, bt)], tri_buf.at[slot],
+            sems.at[slot])
+
+    def process(slot, j):
+        c = order_ref[i, j]
         any_hit = _slab_any(cl_ref, c, org_ref, inv_ref,
                             jnp.full_like(dist, tmin), tmax)
         # opacity early-out: once every ray's log-transmission has
@@ -397,15 +455,18 @@ def _shadow_kernel_fb(order_ref, count_ref, tri_ref, cl_ref, logf_ref,
 
         @pl.when((any_hit > 0.0) & not_done)
         def _():
+            tri_ref = tri_buf[slot]
             t, _, _, ok = _mt_tile(tri_ref, org_ref, dir_ref)
             okf = (ok & (t > tmin) & (t < tmax)).astype(jnp.float32)
             lg = lg_out[:]
             cols = []
             for ci in range(3):
-                acc = jnp.sum(okf * logf_ref[ci:ci + 1, :], axis=1,
+                acc = jnp.sum(okf * tri_ref[10 + ci:11 + ci, :], axis=1,
                               keepdims=True)
                 cols.append(jnp.maximum(lg[:, ci:ci + 1] + acc, -80.0))
             lg_out[:] = jnp.concatenate(cols, axis=1)
+
+    _stream_pipeline(cnt, get_dma, process)
 
 
 def _spread_bits(x):
@@ -434,7 +495,11 @@ def _ray_sort_perm(org, dirn):
               | ((dirn[:, 2] < 0).astype(jnp.uint32) << 2))
     key = (octant << jnp.uint32(30)) | morton
     perm = jnp.argsort(key)
-    inv = jnp.argsort(perm)
+    # scatter-based inverse: TPU argsort is a multi-pass bitonic sort
+    # (~10 ms at 262K keys) — one is enough
+    n = perm.shape[0]
+    inv = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32))
     return perm, inv
 
 
@@ -449,7 +514,7 @@ def closest_hit_pallas(tri_pack10, cluster8, org, dirn, tmin, tmax,
     n_cl = cluster8.shape[1]
     bt = tri_pack10.shape[1] // n_cl
     use_fb = n_cl >= FB_MIN_CLUSTERS
-    sort = use_fb or n_cl >= SORT_MIN_CLUSTERS
+    sort = n_cl >= SORT_MIN_CLUSTERS
     if sort:
         perm, unperm = _ray_sort_perm(org, dirn)
         ray_pack = jnp.concatenate(
@@ -468,26 +533,31 @@ def closest_hit_pallas(tri_pack10, cluster8, org, dirn, tmin, tmax,
     if use_fb:
         order, count = _block_cluster_order(
             org_p, dir_p, tlim[:, 0], tlim[:, 1], cluster8, BQ)
+        # DMA-sliceable VMEM tiles need sublane counts aligned to 8:
+        # pad the 10-row pack to 16 rows (rows 10:16 unused)
+        pack16 = jnp.pad(tri_pack10, ((0, 6), (0, 0)))
         qspec_fb = lambda c: pl.BlockSpec(
-            (BQ, c), lambda i, j, o_, c_: (i, 0),
+            (BQ, c), lambda i, o_, c_: (i, 0),
             memory_space=pltpu.VMEM)
         t, tri, u, v = pl.pallas_call(
-            _closest_kernel_fb,
+            _closest_kernel_stream,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
-                grid=grid,
+                grid=(grid[0],),
                 in_specs=[
-                    pl.BlockSpec((10, bt),
-                                 lambda i, j, o_, c_: (0, o_[i, j]),
-                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.ANY),  # pack in HBM
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                     qspec_fb(3), qspec_fb(3), qspec_fb(3), qspec_fb(2),
                 ],
                 out_specs=[qspec_fb(1)] * 4,
+                scratch_shapes=[
+                    pltpu.VMEM((2, 16, bt), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
             ),
             out_shape=out_shape,
             interpret=INTERPRET,
-        )(order, count, tri_pack10, cluster8, org_p, dir_p, inv_p, tlim)
+        )(order, count, pack16, cluster8, org_p, dir_p, inv_p, tlim)
     else:
         qspec = lambda c: pl.BlockSpec((BQ, c), lambda i, j: (i, 0),
                                        memory_space=pltpu.VMEM)
@@ -530,7 +600,7 @@ def shadow_transmission_pallas(tri_pack10, cluster8, filt4, org, dirn,
     n_cl = cluster8.shape[1]
     bt = tri_pack10.shape[1] // n_cl
     use_fb = n_cl >= FB_MIN_CLUSTERS
-    sort = use_fb or n_cl >= SORT_MIN_CLUSTERS
+    sort = n_cl >= SORT_MIN_CLUSTERS
     if sort:
         perm, unperm = _ray_sort_perm(org, dirn)
         ray_pack = jnp.concatenate([org, dirn, dist[:, None]],
@@ -552,27 +622,32 @@ def shadow_transmission_pallas(tri_pack10, cluster8, filt4, org, dirn,
         order, count = _block_cluster_order(
             org_p, dir_p, jnp.full_like(d, 5e-4),
             d * (1.0 - 1e-4) - 5e-4, cluster8, BQ)
+        # (16, T) streamed pack: tri rows 0:10 + rgb log-filter rows
+        # 10:13 + padding to the 8-sublane DMA alignment
+        pack16 = jnp.concatenate(
+            [tri_pack10, logf4,
+             jnp.zeros((2, tri_pack10.shape[1]), jnp.float32)], axis=0)
         qspec_fb = lambda c: pl.BlockSpec(
-            (BQ, c), lambda i, j, o_, c_: (i, 0),
-            memory_space=pltpu.VMEM)
-        tspec_fb = lambda c: pl.BlockSpec(
-            (c, bt), lambda i, j, o_, c_: (0, o_[i, j]),
+            (BQ, c), lambda i, o_, c_: (i, 0),
             memory_space=pltpu.VMEM)
         lg = pl.pallas_call(
-            _shadow_kernel_fb,
+            _shadow_kernel_stream,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
-                grid=grid,
-                in_specs=[tspec_fb(10),
+                grid=(grid[0],),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
                           pl.BlockSpec(memory_space=pltpu.SMEM),
-                          tspec_fb(4), qspec_fb(3), qspec_fb(3),
-                          qspec_fb(3), qspec_fb(1)],
+                          qspec_fb(3), qspec_fb(3), qspec_fb(3),
+                          qspec_fb(1)],
                 out_specs=qspec_fb(3),
+                scratch_shapes=[
+                    pltpu.VMEM((2, 16, bt), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
             ),
             out_shape=out_shape,
             interpret=INTERPRET,
-        )(order, count, tri_pack10, cluster8, logf4, org_p, dir_p,
-          inv_p, dist_p)
+        )(order, count, pack16, cluster8, org_p, dir_p, inv_p, dist_p)
     else:
         qspec = lambda c: pl.BlockSpec((BQ, c), lambda i, j: (i, 0),
                                        memory_space=pltpu.VMEM)

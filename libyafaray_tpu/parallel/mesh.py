@@ -42,6 +42,19 @@ def film_sharding(mesh: Mesh, axis: str = "film"):
     )
 
 
+def film_shardings_for(film: dict, mesh: Mesh, axis: str = "film"):
+    """Row-shard every (H, W, ...) plane in an actual film dict (incl.
+    AOV planes and the density layer); scalars replicate.  Used by the
+    production pass loop when it auto-builds a mesh (render(mesh=...))."""
+    out = {}
+    for k, v in film.items():
+        if getattr(v, "ndim", 0) >= 2:
+            out[k] = NamedSharding(mesh, P(axis, *([None] * (v.ndim - 1))))
+        else:
+            out[k] = NamedSharding(mesh, P())
+    return out
+
+
 def make_sharded_step(cscene, cfg, mesh: Mesh, axis: str = "film"):
     """Jit the sample_step with film sharded across the mesh; scene arrays
     replicated.  Returns (step_fn, sharded_film_init, flags_sharding)."""

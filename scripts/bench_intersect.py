@@ -31,60 +31,90 @@ def make_soup(n, seed=0, extent=10.0, tri_size=0.4):
     return v0, e1, e2
 
 
-def make_rays(n, kind, seed=1, extent=10.0):
+def make_rays(n, kind, seed=1, ctr=None, ext=None):
     rng = np.random.default_rng(seed)
+    ctr = np.zeros(3) if ctr is None else np.asarray(ctr)
+    ext = np.full(3, 10.0) if ext is None else np.asarray(ext)
     if kind == "coherent":
-        # camera-like: one origin cluster, forward cone
-        org = (np.array([0.0, 0.0, -3.0 * extent], np.float32)
-               + rng.normal(0, 0.1, (n, 3)).astype(np.float32))
-        tgt = rng.uniform(-extent, extent, (n, 2)).astype(np.float32)
-        d = np.concatenate(
-            [tgt, np.zeros((n, 1), np.float32)], axis=1) - org
+        # camera-like: one origin cluster, SCANLINE-ordered targets —
+        # the engine's wavefront lanes arrive in pixel order, so
+        # consecutive rays are neighbors (representative of bounce 0)
+        org = (ctr + np.array([0.0, 0.0, 3.0]) * ext
+               + rng.normal(0, 0.02, (n, 3)) * ext).astype(np.float32)
+        side = int(np.sqrt(n))
+        gy, gx = np.meshgrid(np.linspace(-1, 1, side),
+                             np.linspace(-1, 1, side), indexing="ij")
+        tgt = np.stack([gx.ravel(), gy.ravel(), np.zeros(side * side)],
+                       axis=1)
+        tgt = np.concatenate([tgt, tgt[: n - len(tgt)]])[:n] * ext + ctr
+        d = tgt.astype(np.float32) - org
     else:
         # bounce-like: origins inside the scene, directions uniform sphere
-        org = rng.uniform(-extent, extent, (n, 3)).astype(np.float32)
+        org = (ctr + rng.uniform(-1, 1, (n, 3)) * ext).astype(np.float32)
         d = rng.normal(0, 1, (n, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=1, keepdims=True) + 1e-12
     return org, d.astype(np.float32)
 
 
 def chain_time(fn, args, iters=8):
-    """Dependent-chain timing: fn must map (org,...) -> outputs whose first
-    element can perturb org.  We instead time a python loop of iters calls
-    where each call's input is XORed with a tiny function of the previous
-    output (forces sequencing) and fetch once."""
+    """Dependent-chain timing with ONE compiled program: a fori_loop
+    whose body re-runs fn with an input perturbed by a finite token of
+    the previous output (forces sequencing; t can be inf for misses so
+    the token uses the last output).  block_until_ready is unreliable
+    over this tunnel — per-call time = (t(iters) - t(1)) / (iters - 1)
+    with a single host fetch per measurement.  Keeping ONE jit keeps the
+    remote-compiled module small (an unrolled 8-call chain produced a
+    6.4 MB MLIR module that took minutes per compile)."""
     import jax
     import jax.numpy as jnp
 
     org = args[0]
 
     def run(k):
-        o = org
-        out = None
-        for i in range(k):
+        def body(i, o):
             out = fn(o, *args[1:])
-            # data dependency via a guaranteed-FINITE token (t can be inf
-            # for misses; 0*inf would poison the chain with NaNs)
             token = jnp.sum(out[-1].astype(jnp.float32))
-            o = org + token * 0.0
-        return out
+            return org + token * 0.0
+        o = jax.lax.fori_loop(0, k, body, org)
+        out = fn(o, *args[1:])
+        return jnp.sum(out[-1].astype(jnp.float32))
 
-    r1 = jax.jit(run, static_argnums=0)
-    # warmup/compile both variants
-    np.asarray(jax.tree_util.tree_leaves(r1(1))[0]).sum()
-    np.asarray(jax.tree_util.tree_leaves(r1(iters))[0]).sum()
+    r1 = jax.jit(run)
+    np.asarray(r1(0))  # compile once + warm
     t0 = time.perf_counter()
-    np.asarray(jax.tree_util.tree_leaves(r1(1))[0]).sum()
+    np.asarray(r1(0))
     t_one = time.perf_counter() - t0
     t0 = time.perf_counter()
-    np.asarray(jax.tree_util.tree_leaves(r1(iters))[0]).sum()
+    np.asarray(r1(iters - 1))
     t_chain = time.perf_counter() - t0
     return max(1e-9, (t_chain - t_one) / (iters - 1))
+
+
+def scene_tris(name):
+    """Real scene geometry (surfaces, not a volumetric soup — the
+    representative culling case)."""
+    from libyafaray_tpu.scene.xml_parser import parse_xml_file
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scene = parse_xml_file(os.path.join(repo, "scenes", name))
+    # force tessellated spheres so the triangle count matches the r2
+    # benchmark row for this scene class
+    scene.analytic_spheres, sph = [], scene.analytic_spheres
+    from libyafaray_tpu.scene.mesh import make_sphere_mesh
+
+    for (c, r, m) in sph:
+        scene.extra_tri_blocks.append(make_sphere_mesh(c, r, m))
+    cs = scene.compile()
+    tr = cs.arrays["tris"]
+    n = cs.static.n_tris_real
+    return (np.asarray(tr["v0"])[:n], np.asarray(tr["e1"])[:n],
+            np.asarray(tr["e2"])[:n])
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="2600,20000,100000")
+    ap.add_argument("--scenes", default="")
     ap.add_argument("--nrays", type=int, default=262144)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--out", default="")
@@ -98,15 +128,26 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev}", flush=True)
     results = []
-    for n_tris in [int(s) for s in args.sizes.split(",")]:
-        v0, e1, e2 = make_soup(n_tris)
+    cases = [("soup", int(s)) for s in args.sizes.split(",") if s]
+    cases += [("scene", s) for s in args.scenes.split(",") if s]
+    for kind_geo, n_tris in cases:
+        if kind_geo == "scene":
+            v0, e1, e2 = scene_tris(n_tris)
+            n_tris = v0.shape[0]
+            # rays from inside the scene's bbox
+            lo = (v0.min(0) + (v0 + e1).min(0)) / 2
+            hi = (v0.max(0) + (v0 + e2).max(0)) / 2
+            ctr, ext = (lo + hi) / 2, (hi - lo) * 0.45
+        else:
+            v0, e1, e2 = make_soup(n_tris)
+            ctr, ext = np.zeros(3), np.full(3, 10.0)
         order = pli.morton_order(v0, e1, e2)
         pack, cl, _ = pli.build_tri_pack(v0, e1, e2, order)
         pack = jnp.asarray(pack)
         cl = jnp.asarray(cl)
         filt4 = jnp.zeros((4, n_tris), jnp.float32)  # opaque
         for kind in ("coherent", "incoherent"):
-            org, dirn = make_rays(args.nrays, kind)
+            org, dirn = make_rays(args.nrays, kind, ctr=ctr, ext=ext)
             org_j = jnp.asarray(org)
             dirn_j = jnp.asarray(dirn)
             tmin = jnp.full((args.nrays,), 1e-4, jnp.float32)
@@ -127,7 +168,8 @@ def main():
             t_s = chain_time(f_shadow, (org_j, dirn_j), args.iters)
             mr_c = args.nrays / t_c / 1e6
             mr_s = args.nrays / t_s / 1e6
-            row = dict(n_tris=n_tris, kind=kind,
+            row = dict(n_tris=n_tris, kind=kind, geo=kind_geo,
+                       bt=int(pack.shape[1]) // int(cl.shape[1]),
                        closest_ms=round(t_c * 1e3, 2),
                        closest_mrays=round(mr_c, 1),
                        shadow_ms=round(t_s * 1e3, 2),

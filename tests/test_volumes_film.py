@@ -261,3 +261,37 @@ def test_hg_phase_normalization():
         ph = np.asarray(_phase(vol, jnp.asarray(z)))
         integral = ph.mean() * 4.0 * np.pi
         assert abs(integral - 1.0) < 0.02, (vol.vtype, vol.g, integral)
+
+
+def test_adaptive_marching_refines_vertical_exp_transmittance():
+    """`adaptive` (reference SingleScatterIntegrator param): 4-substep
+    refinement must beat the plain 16-step midpoint rule on a ray along
+    a steep exponential gradient, against the closed-form integral."""
+    from libyafaray_tpu.volumes.integrate import transmittance
+
+    vol = volume_from_params(ParamMap({
+        "type": "ExpDensityVolume", "sigma_a": 1.0, "sigma_s": 0.0,
+        "a": 6.0, "b": 3.0,
+        "minX": -1.0, "maxX": 1.0, "minY": -1.0, "maxY": 1.0,
+        "minZ": 0.0, "maxZ": 2.0,
+    }))
+    # vertical ray: tau = 6/3 (1 - exp(-3*2))
+    org = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+    dist = jnp.full((1,), 100.0, jnp.float32)
+    tau_true = 2.0 * (1.0 - np.exp(-6.0))
+    t_true = np.exp(-tau_true)
+    t_fix = float(np.asarray(transmittance((vol,), org, d, dist))[0])
+    t_ad = float(np.asarray(
+        transmittance((vol,), org, d, dist, adaptive=True))[0])
+    assert abs(t_ad - t_true) < abs(t_fix - t_true)
+    assert abs(t_ad - t_true) < 2e-3
+    # uniform volumes are exact either way: adaptive is a no-op
+    uni = volume_from_params(ParamMap({
+        "type": "UniformVolume", "sigma_a": 0.5, "sigma_s": 0.0,
+        "minX": -1.0, "maxX": 1.0, "minY": -1.0, "maxY": 1.0,
+        "minZ": 0.0, "maxZ": 2.0,
+    }))
+    ta = np.asarray(transmittance((uni,), org, d, dist, adaptive=True))
+    tb = np.asarray(transmittance((uni,), org, d, dist))
+    assert np.allclose(ta, tb)
