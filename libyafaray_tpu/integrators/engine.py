@@ -86,21 +86,24 @@ def _merge_sphere_hits(scene_arrays, static, hit, org, dirn, tmin, tmax):
     )
 
 
-def _closest_hit(scene_arrays, static, org, dirn, tmin=None, tmax=None):
+def _closest_hit(scene_arrays, static, org, dirn, tmin=None, tmax=None,
+                 coherent: bool = False):
     n_ = org.shape[0]
     if static.n_spheres:
         if tmin is None:
             tmin = jnp.full((n_,), isect.RAY_EPS, jnp.float32)
         if tmax is None:
             tmax = jnp.full((n_,), jnp.inf, jnp.float32)
-        hit = _closest_hit_tris(scene_arrays, static, org, dirn, tmin, tmax)
+        hit = _closest_hit_tris(scene_arrays, static, org, dirn, tmin,
+                                tmax, coherent)
         return _merge_sphere_hits(scene_arrays, static, hit, org, dirn,
                                   tmin, tmax)
-    return _closest_hit_tris(scene_arrays, static, org, dirn, tmin, tmax)
+    return _closest_hit_tris(scene_arrays, static, org, dirn, tmin, tmax,
+                             coherent)
 
 
 def _closest_hit_tris(scene_arrays, static, org, dirn, tmin=None,
-                      tmax=None):
+                      tmax=None, coherent: bool = False):
     if static.intersector == "bvh":
         from ..ops.bvh_traverse import closest_hit_bvh
 
@@ -117,7 +120,8 @@ def _closest_hit_tris(scene_arrays, static, org, dirn, tmin=None,
             tmax = jnp.full((n,), jnp.inf, jnp.float32)
         t, tri, u, v, hit = pli.closest_hit_pallas(
             scene_arrays["tri_pack10"], scene_arrays["tri_cluster8"],
-            org, dirn, tmin, tmax, n_tris=static.n_tris_real)
+            org, dirn, tmin, tmax, n_tris=static.n_tris_real,
+            presorted=coherent)
         return isect.Hit(t=t, tri=tri, u=u, v=v, hit=hit)
     return isect.closest_hit_brute(scene_arrays["tris"], org, dirn, tmin,
                                    tmax, chunk=static.chunk,
@@ -125,7 +129,8 @@ def _closest_hit_tris(scene_arrays, static, org, dirn, tmin=None,
                                        "tri_geom_pack"))
 
 
-def _shadow_transmission(scene_arrays, static, cfg, org, dirn, dist):
+def _shadow_transmission(scene_arrays, static, cfg, org, dirn, dist,
+                         coherent: bool = False):
     tr_sph = None
     if static.n_spheres and "spheres" in scene_arrays:
         sp = scene_arrays["spheres"]
@@ -173,7 +178,7 @@ def _shadow_transmission(scene_arrays, static, cfg, org, dirn, dist):
             scene_arrays["stri_pack10"], scene_arrays["stri_cluster8"],
             filt4, org, dirn, dist,
             n_tris=getattr(static, "n_stris_real", 0)
-            or n_stris.shape[1])
+            or n_stris.shape[1], presorted=coherent)
         return tr if tr_sph is None else tr * tr_sph
     tr = isect.shadow_transmission_brute(
         scene_arrays["stris"], filt, org, dirn, dist, chunk=static.chunk
@@ -346,47 +351,71 @@ def _direct_lighting(scene_arrays, static, cfg, sp, row, wo, n_f,
             ns = max(1, int(round(cfg.indirect_ns_mult)))
         skey_l = qmc.hash_combine(skey, jnp.uint32(0xABCD01 + 131 * li))
 
-        def one_sample(s):
+        def sample_terms(sub_idx, skey_v, p_, n_, ng_, row_, wo_, nf_):
+            """NEE term(s) for lanes of any flat size (N or ns·N)."""
             from ..core.color import luminance as _lum
 
-            sub_idx = s_idx * ns + s
             if dyn:
-                u1 = qmc.dynamic_sample_dim(sub_idx, dim_u, skey_l)
-                u2 = qmc.dynamic_sample_dim(sub_idx, dim_v, skey_l)
+                u1 = qmc.dynamic_sample_dim(sub_idx, dim_u, skey_v)
+                u2 = qmc.dynamic_sample_dim(sub_idx, dim_v, skey_v)
             else:
-                u1, u2 = qmc.sample_dim_pair(sub_idx, dim_u, skey_l)
+                u1, u2 = qmc.sample_dim_pair(sub_idx, dim_u, skey_v)
             smp = _sample_one_light(scene_arrays, static, li, ls, lrow,
-                                    sp["p"], u1, u2)
-            cos_i = vmath.dot(sp["n"], smp["wi"])
-            f = blendmod.eval_bsdf(scene_arrays["materials"], row,
-                                   sp["n"], sp["ng"], wo, smp["wi"],
+                                    p_, u1, u2)
+            cos_i = vmath.dot(n_, smp["wi"])
+            f = blendmod.eval_bsdf(scene_arrays["materials"], row_,
+                                   n_, ng_, wo_, smp["wi"],
                                    static.has_blend,
                                    families=static.mat_families)
             contrib_w = jnp.abs(cos_i) / jnp.maximum(smp["pdf"], 1e-9)
             ok = smp["valid"] & (smp["pdf"] > 1e-9)
             if ls.cast_shadows:
-                org_s = sp["p"] + n_f * jnp.sign(cos_i)[..., None] * \
+                org_s = p_ + nf_ * jnp.sign(cos_i)[..., None] * \
                     static.shadow_bias
                 tr = _shadow_transmission(scene_arrays, static, cfg, org_s,
-                                          smp["wi"], smp["dist"])
+                                          smp["wi"], smp["dist"],
+                                          coherent=bool(ns_scale))
             else:
                 tr = jnp.ones_like(f)
             term = f * smp["li"] * tr * contrib_w[..., None]
             if mis_with_bsdf and (not ls.is_delta) and ls.intersectable:
                 bpdf = blendmod.pdf_bsdf(scene_arrays["materials"],
-                                         row, sp["n"], sp["ng"], wo,
+                                         row_, n_, ng_, wo_,
                                          smp["wi"], static.has_blend,
                                          families=static.mat_families)
                 w = power_heuristic(smp["pdf"], bpdf)
                 term = term * w[..., None]
             return jnp.where(ok[..., None], term, 0.0), _lum(tr)
 
+        n0 = sp["p"].shape[0]
         if ns == 1:
-            accum, sh_acc = one_sample(jnp.uint32(0))
+            accum, sh_acc = sample_terms(s_idx * ns, skey_l, sp["p"],
+                                         sp["n"], sp["ng"], row, wo, n_f)
+        elif ns * n0 <= (1 << 23):
+            # BATCHED NEE: all ns light samples go through ONE
+            # eval/shadow pass over ns·N flat lanes — the r2 scan paid
+            # the intersector's per-call fixed cost (ray sort, padding,
+            # cluster prelude) ns times per step (ns=16 on the Cornell
+            # configs).  Broadcast views fuse; peak memory is gated.
+            s = jnp.arange(ns, dtype=jnp.uint32)
+            sub_idx = (s_idx[None, :] * ns + s[:, None]).reshape(-1)
+
+            def tile(x):
+                return jnp.broadcast_to(
+                    x[None], (ns,) + x.shape).reshape(
+                        (ns * n0,) + x.shape[1:])
+
+            row_f = {k: tile(v) for k, v in row.items()}
+            terms, sh = sample_terms(
+                sub_idx, tile(skey_l), tile(sp["p"]), tile(sp["n"]),
+                tile(sp["ng"]), row_f, tile(wo), tile(n_f))
+            accum = jnp.sum(terms.reshape(ns, n0, 3), axis=0)
+            sh_acc = jnp.sum(sh.reshape(ns, n0), axis=0)
         else:
             def body(carry, s):
                 ca, cs = carry
-                t, sh = one_sample(s)
+                t, sh = sample_terms(s_idx * ns + s, skey_l, sp["p"],
+                                     sp["n"], sp["ng"], row, wo, n_f)
                 return (ca + t, cs + sh), None
 
             (accum, sh_acc), _ = lax.scan(
@@ -483,7 +512,7 @@ def make_sample_step(static, camera, cfg: RenderConfig,
 
         hit = _closest_hit(scene_arrays, static, org, dirn,
                            tmin=jnp.full((n,), static.ray_min_dist,
-                                         jnp.float32))
+                                         jnp.float32), coherent=first)
         # ray-cone footprint at the hit (texture LOD; diffRay_t analog)
         fp = cone_w + cone_spread * jnp.where(hit.hit, hit.t, 0.0)
         seg = jnp.where(hit.hit, hit.t, 0.0)

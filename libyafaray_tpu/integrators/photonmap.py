@@ -531,6 +531,9 @@ def render_photonmap(cscene, cfg: RenderConfig, progress_cb=None,
             log.info("photonmap film resume: %s at pass %d", film_path,
                      start_pass)
 
+    # CPU virtual-device meshes deadlock XLA's collective rendezvous
+    # when many sharded steps are enqueued async (integrators/render.py)
+    throttle = mesh is not None and jax.devices()[0].platform == "cpu"
     t1 = _t.perf_counter()
     for p in range(start_pass, cfg.aa_passes):
         fl = flags if p == 0 else compute_aa_flags(
@@ -538,6 +541,8 @@ def render_photonmap(cscene, cfg: RenderConfig, progress_cb=None,
             cfg.aa_dark_factor, cfg.aa_detect_color_noise)
         for s in range(cfg.aa_samples if p == 0 else cfg.aa_inc_samples):
             film = step_j(arrays, film, fl)
+            if throttle:
+                jax.block_until_ready(film["wsum"])
         if progress_cb:
             jax.block_until_ready(film["wsum"])
             progress_cb(p + 1, cfg.aa_passes)

@@ -172,6 +172,11 @@ def render(cscene: CompiledScene, cfg: RenderConfig,
             )
             n_steps = max(1, round(-(-cfg.aa_inc_samples // spb)
                                    * (f_aa ** p)))
+        # XLA CPU's collective rendezvous (40 s deadline) deadlocks when
+        # many sharded executions are enqueued asynchronously on the
+        # virtual-device backend (threads race ahead of the rendezvous);
+        # synchronize each step there.  Real TPU meshes don't need it.
+        throttle = mesh is not None and jax.devices()[0].platform == "cpu"
         last_autosave = time.perf_counter()
         for s in range(n_steps):
             if first_step_s is None:
@@ -181,6 +186,8 @@ def render(cscene: CompiledScene, cfg: RenderConfig,
                 first_step_s = time.perf_counter() - t_f
             else:
                 film = step_j(arrays, film, flags)
+                if throttle:
+                    jax.block_until_ready(film["wsum"])
             if (cfg.autosave_interval_type == "time" and film_path
                     and time.perf_counter() - last_autosave
                     > cfg.autosave_interval):

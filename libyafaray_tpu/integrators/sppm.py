@@ -291,6 +291,9 @@ def render_sppm(cscene, cfg: RenderConfig, progress_cb=None, mesh=None,
         pack = comp(rec)
         r2, n_acc, tau = update_j(hitpoints, pack, r2, n_acc, tau,
                                   alpha=cfg.sppm_alpha)
+        if mesh is not None and jax.devices()[0].platform == "cpu":
+            # rendezvous throttle (see integrators/render.py)
+            jax.block_until_ready(tau)
         n_emitted_total += lanes
         if progress_cb:
             jax.block_until_ready(tau)

@@ -177,6 +177,81 @@ def _mt_tile(tri_ref, org_ref, dir_ref):
     return t, u, v, ok
 
 
+import os as _os
+
+MXU_MT = _os.environ.get("LIBYAF_MXU", "0") == "1"  # read at import; the
+# kernels trace once per process, so flip it via env before the first call
+
+
+def _mt_tile_mxu(tri_ref, org_ref, dir_ref, ctr):
+    """Möller-Trumbore tile on the MXU: every per-pair quantity is a
+    bilinear form ray-features x tri-features —
+
+        det   = -d·n                    n  = e1 x e2
+        u·det = (o'xd)·e2 + d·(v0'xe2)  (scalar triple identities)
+        v·det = -(o'xd)·e1 - d·(v0'xe1)
+        t·det = o'·n - v0'·n
+
+    with o' = o - ctr, v0' = v0 - ctr (cluster-center translation keeps
+    the cross-product magnitudes at cluster scale — the matmul runs in
+    bf16-decomposed f32 and the triple products cancel).  Four
+    (BQ,16)x(16,BT) dots replace ~45 VPU ops/pair with ~12 (epilogue)
+    plus MXU work at ~100x VPU throughput.
+    Returns (t, u, v, ok) like _mt_tile."""
+    f32 = jnp.float32
+    ox = org_ref[:, 0:1] - ctr[0]
+    oy = org_ref[:, 1:2] - ctr[1]
+    oz = org_ref[:, 2:3] - ctr[2]
+    dx, dy, dz = dir_ref[:, 0:1], dir_ref[:, 1:2], dir_ref[:, 2:3]
+    cx = oy * dz - oz * dy
+    cy = oz * dx - ox * dz
+    cz = ox * dy - oy * dx
+    one = jnp.ones_like(ox)
+    # ray features (BQ, 16): [d, oxd, o, 1, pad...]
+    F = jnp.concatenate(
+        [dx, dy, dz, cx, cy, cz, ox, oy, oz, one,
+         jnp.zeros((ox.shape[0], 6), f32)], axis=1)
+
+    v0x = tri_ref[0:1, :] - ctr[0]
+    v0y = tri_ref[1:2, :] - ctr[1]
+    v0z = tri_ref[2:3, :] - ctr[2]
+    e1x, e1y, e1z = tri_ref[3:4, :], tri_ref[4:5, :], tri_ref[5:6, :]
+    e2x, e2y, e2z = tri_ref[6:7, :], tri_ref[7:8, :], tri_ref[8:9, :]
+    nx = e1y * e2z - e1z * e2y
+    ny = e1z * e2x - e1x * e2z
+    nz = e1x * e2y - e1y * e2x
+    w2x = v0y * e2z - v0z * e2y     # v0' x e2
+    w2y = v0z * e2x - v0x * e2z
+    w2z = v0x * e2y - v0y * e2x
+    w1x = v0y * e1z - v0z * e1y     # v0' x e1
+    w1y = v0z * e1x - v0x * e1z
+    w1z = v0x * e1y - v0y * e1x
+    zero = jnp.zeros_like(nx)
+    bt = nx.shape[1]
+
+    def G(rows):
+        rows = list(rows) + [zero] * (16 - len(rows))
+        return jnp.concatenate(rows, axis=0)  # (16, BT)
+
+    dot = lambda g: jax.lax.dot_general(
+        F, g, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    det = dot(G([-nx, -ny, -nz]))
+    u_num = dot(G([w2x, w2y, w2z, e2x, e2y, e2z]))
+    v_num = -dot(G([w1x, w1y, w1z, e1x, e1y, e1z]))
+    t_num = dot(G([zero, zero, zero, zero, zero, zero, nx, ny, nz,
+                   -(v0x * nx + v0y * ny + v0z * nz)]))
+    s = jnp.sign(det)
+    adet = jnp.abs(det)
+    inv = 1.0 / jnp.where(adet < NEG_EPS, 1.0, det)
+    u = u_num * inv
+    v = v_num * inv
+    t = t_num * inv
+    ok = ((adet > NEG_EPS) & (u_num * s >= 0.0) & (v_num * s >= 0.0)
+          & ((u_num + v_num) * s <= adet))
+    return t, u, v, ok
+
+
 def _slab_any(cl_ref, j, org_ref, inv_ref, tmin, tmax):
     """Does ANY ray in the block enter cluster j's AABB within
     [tmin, tmax]?  cl_ref is the whole (8, C) cluster array in SMEM
@@ -402,7 +477,12 @@ def _closest_kernel_stream(order_ref, count_ref, tri_hbm, cl_ref, org_ref,
         @pl.when(any_hit > 0.0)
         def _():
             tri_ref = tri_buf[slot]
-            t, u, v, ok = _mt_tile(tri_ref, org_ref, dir_ref)
+            if MXU_MT:
+                ctr = tuple(0.5 * (cl_ref[a, c] + cl_ref[a + 3, c])
+                            for a in range(3))
+                t, u, v, ok = _mt_tile_mxu(tri_ref, org_ref, dir_ref, ctr)
+            else:
+                t, u, v, ok = _mt_tile(tri_ref, org_ref, dir_ref)
             ok = ok & (t > tmin) & (t < tmax)
             t_ok = jnp.where(ok, t, jnp.inf)
             tile_min = jnp.min(t_ok, axis=1, keepdims=True)
@@ -456,7 +536,13 @@ def _shadow_kernel_stream(order_ref, count_ref, tri_hbm, cl_ref, org_ref,
         @pl.when((any_hit > 0.0) & not_done)
         def _():
             tri_ref = tri_buf[slot]
-            t, _, _, ok = _mt_tile(tri_ref, org_ref, dir_ref)
+            if MXU_MT:
+                ctr = tuple(0.5 * (cl_ref[a, c] + cl_ref[a + 3, c])
+                            for a in range(3))
+                t, _, _, ok = _mt_tile_mxu(tri_ref, org_ref, dir_ref,
+                                           ctr)
+            else:
+                t, _, _, ok = _mt_tile(tri_ref, org_ref, dir_ref)
             okf = (ok & (t > tmin) & (t < tmax)).astype(jnp.float32)
             lg = lg_out[:]
             cols = []
@@ -503,18 +589,20 @@ def _ray_sort_perm(org, dirn):
     return perm, inv
 
 
-@functools.partial(jax.jit, static_argnames=("n_tris",))
+@functools.partial(jax.jit, static_argnames=("n_tris", "presorted"))
 def closest_hit_pallas(tri_pack10, cluster8, org, dirn, tmin, tmax,
-                       n_tris: int):
+                       n_tris: int, presorted: bool = False):
     """tri_pack10: (10, T) f32 (v0|e1|e2|orig_id); cluster8 (8, T//BT);
-    org/dirn (N,3).  Returns (t, tri, u, v, hit) — tri in ORIGINAL ids."""
+    org/dirn (N,3).  Returns (t, tri, u, v, hit) — tri in ORIGINAL ids.
+    presorted: caller vouches the rays arrive spatially coherent
+    (scanline camera rays) — skips the ~8 ms/262K-ray TPU argsort."""
     if n_tris <= TINY_TRIS:
         return _closest_hit_tiny(tri_pack10, org, dirn, tmin, tmax,
                                  n_tris=n_tris)
     n_cl = cluster8.shape[1]
     bt = tri_pack10.shape[1] // n_cl
     use_fb = n_cl >= FB_MIN_CLUSTERS
-    sort = n_cl >= SORT_MIN_CLUSTERS
+    sort = (not presorted) and n_cl >= SORT_MIN_CLUSTERS
     if sort:
         perm, unperm = _ray_sort_perm(org, dirn)
         ray_pack = jnp.concatenate(
@@ -536,25 +624,27 @@ def closest_hit_pallas(tri_pack10, cluster8, org, dirn, tmin, tmax,
         # DMA-sliceable VMEM tiles need sublane counts aligned to 8:
         # pad the 10-row pack to 16 rows (rows 10:16 unused)
         pack16 = jnp.pad(tri_pack10, ((0, 6), (0, 0)))
+        # order/count ride as plain SMEM operands (NOT scalar
+        # prefetch: the manual DMA reads indices in the kernel body, and
+        # PrefetchScalarGridSpec kernels took 15+ min per remote Mosaic
+        # compile in this environment vs ~seconds without)
         qspec_fb = lambda c: pl.BlockSpec(
-            (BQ, c), lambda i, o_, c_: (i, 0),
-            memory_space=pltpu.VMEM)
+            (BQ, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         t, tri, u, v = pl.pallas_call(
             _closest_kernel_stream,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
-                grid=(grid[0],),
-                in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.ANY),  # pack in HBM
-                    pl.BlockSpec(memory_space=pltpu.SMEM),
-                    qspec_fb(3), qspec_fb(3), qspec_fb(3), qspec_fb(2),
-                ],
-                out_specs=[qspec_fb(1)] * 4,
-                scratch_shapes=[
-                    pltpu.VMEM((2, 16, bt), jnp.float32),
-                    pltpu.SemaphoreType.DMA((2,)),
-                ],
-            ),
+            grid=(grid[0],),
+            in_specs=[
+                smem, smem,
+                pl.BlockSpec(memory_space=pltpu.ANY),  # pack in HBM
+                smem,
+                qspec_fb(3), qspec_fb(3), qspec_fb(3), qspec_fb(2),
+            ],
+            out_specs=[qspec_fb(1)] * 4,
+            scratch_shapes=[
+                pltpu.VMEM((2, 16, bt), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
             out_shape=out_shape,
             interpret=INTERPRET,
         )(order, count, pack16, cluster8, org_p, dir_p, inv_p, tlim)
@@ -589,9 +679,10 @@ def closest_hit_pallas(tri_pack10, cluster8, org, dirn, tmin, tmax,
             jnp.isfinite(t))
 
 
-@functools.partial(jax.jit, static_argnames=("n_tris",))
+@functools.partial(jax.jit, static_argnames=("n_tris", "presorted"))
 def shadow_transmission_pallas(tri_pack10, cluster8, filt4, org, dirn,
-                               dist, n_tris: int):
+                               dist, n_tris: int,
+                               presorted: bool = False):
     """filt4: (4, T) f32 rgb filter rows (in PACK order) + padding row.
     Returns (N, 3) transmission."""
     if n_tris <= TINY_TRIS:
@@ -600,7 +691,7 @@ def shadow_transmission_pallas(tri_pack10, cluster8, filt4, org, dirn,
     n_cl = cluster8.shape[1]
     bt = tri_pack10.shape[1] // n_cl
     use_fb = n_cl >= FB_MIN_CLUSTERS
-    sort = n_cl >= SORT_MIN_CLUSTERS
+    sort = (not presorted) and n_cl >= SORT_MIN_CLUSTERS
     if sort:
         perm, unperm = _ray_sort_perm(org, dirn)
         ray_pack = jnp.concatenate([org, dirn, dist[:, None]],
@@ -628,23 +719,21 @@ def shadow_transmission_pallas(tri_pack10, cluster8, filt4, org, dirn,
             [tri_pack10, logf4,
              jnp.zeros((2, tri_pack10.shape[1]), jnp.float32)], axis=0)
         qspec_fb = lambda c: pl.BlockSpec(
-            (BQ, c), lambda i, o_, c_: (i, 0),
-            memory_space=pltpu.VMEM)
+            (BQ, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         lg = pl.pallas_call(
             _shadow_kernel_stream,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
-                grid=(grid[0],),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                          pl.BlockSpec(memory_space=pltpu.SMEM),
-                          qspec_fb(3), qspec_fb(3), qspec_fb(3),
-                          qspec_fb(1)],
-                out_specs=qspec_fb(3),
-                scratch_shapes=[
-                    pltpu.VMEM((2, 16, bt), jnp.float32),
-                    pltpu.SemaphoreType.DMA((2,)),
-                ],
-            ),
+            grid=(grid[0],),
+            in_specs=[smem, smem,
+                      pl.BlockSpec(memory_space=pltpu.ANY),
+                      smem,
+                      qspec_fb(3), qspec_fb(3), qspec_fb(3),
+                      qspec_fb(1)],
+            out_specs=qspec_fb(3),
+            scratch_shapes=[
+                pltpu.VMEM((2, 16, bt), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
             out_shape=out_shape,
             interpret=INTERPRET,
         )(order, count, pack16, cluster8, org_p, dir_p, inv_p, dist_p)

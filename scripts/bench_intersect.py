@@ -118,6 +118,9 @@ def main():
     ap.add_argument("--nrays", type=int, default=262144)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--out", default="")
+    ap.add_argument("--verify", action="store_true",
+                    help="check pallas results vs brute force on-device "
+                         "(8K-ray subset) before timing")
     args = ap.parse_args()
 
     import jax
@@ -163,6 +166,30 @@ def main():
                 tr = pli.shadow_transmission_pallas(
                     pack, cl, filt4, o, d, dist, n_tris=n_tris)
                 return (tr,)
+
+            if args.verify:
+                from libyafaray_tpu.ops.intersect import (
+                    closest_hit_brute, pad_triangles)
+
+                k = 8192
+                t_p, tri_p, _, _, hit_p = pli.closest_hit_pallas(
+                    pack, cl, org_j[:k], dirn_j[:k], tmin[:k], tmax[:k],
+                    n_tris=n_tris)
+                v0p, e1p, e2p, _ = pad_triangles(v0, e1, e2, 512)
+                hb = closest_hit_brute(
+                    dict(v0=jnp.asarray(v0p), e1=jnp.asarray(e1p),
+                         e2=jnp.asarray(e2p)),
+                    org_j[:k], dirn_j[:k],
+                    jnp.full((k,), 1e-4, jnp.float32), chunk=512)
+                hp = np.asarray(hit_p)
+                hbt = np.asarray(hb.hit)
+                agree = float((hp == hbt).mean())
+                m = hp & hbt
+                tdiff = float(np.abs(np.asarray(t_p)[m]
+                                     - np.asarray(hb.t)[m]).max()) \
+                    if m.any() else 0.0
+                print(json.dumps(dict(verify=kind, hit_agree=agree,
+                                      t_maxdiff=tdiff)), flush=True)
 
             t_c = chain_time(f_closest, (org_j, dirn_j), args.iters)
             t_s = chain_time(f_shadow, (org_j, dirn_j), args.iters)

@@ -178,3 +178,41 @@ def test_pallas_kernels_interpret_match_brute(soup, rays):
         assert np.allclose(np.asarray(tr_p), np.asarray(tr_b), atol=2e-3)
     finally:
         pli.INTERPRET = False
+
+
+def test_mxu_mt_tile_algebra_matches_reference():
+    """The bilinear (MXU) Möller-Trumbore formulation must agree with
+    the direct per-pair form on the same tile (pure-jnp check of the
+    triple-product algebra; TPU-precision validation lives in
+    scripts/bench_intersect.py --verify-mxu)."""
+    from libyafaray_tpu.ops.pallas_intersect import (_mt_tile,
+                                                     _mt_tile_mxu)
+
+    rng = np.random.default_rng(11)
+    bq, bt = 64, 128
+    v0 = rng.uniform(-2, 2, (bt, 3)).astype(np.float32)
+    e1 = rng.normal(0, 1, (bt, 3)).astype(np.float32)
+    e2 = rng.normal(0, 1, (bt, 3)).astype(np.float32)
+    pack = jnp.asarray(np.concatenate(
+        [v0.T, e1.T, e2.T,
+         np.zeros((7, bt), np.float32)], axis=0))  # (16, bt)
+    org = jnp.asarray(rng.uniform(-3, 3, (bq, 3)), jnp.float32)
+    d = rng.normal(0, 1, (bq, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+
+    t_a, u_a, v_a, ok_a = _mt_tile(pack, org, d)
+    t_b, u_b, v_b, ok_b = _mt_tile_mxu(pack, org, d,
+                                       (0.1, -0.2, 0.3))
+    ok_a = np.asarray(ok_a)
+    ok_b = np.asarray(ok_b)
+    # boundary-epsilon cases may flip; bulk agreement must be near-total
+    agree = (ok_a == ok_b).mean()
+    assert agree > 0.999, agree
+    m = ok_a & ok_b
+    assert np.allclose(np.asarray(t_a)[m], np.asarray(t_b)[m],
+                       rtol=1e-4, atol=1e-5)
+    assert np.allclose(np.asarray(u_a)[m], np.asarray(u_b)[m],
+                       rtol=1e-3, atol=1e-4)
+    assert np.allclose(np.asarray(v_a)[m], np.asarray(v_b)[m],
+                       rtol=1e-3, atol=1e-4)
