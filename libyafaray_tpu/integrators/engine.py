@@ -351,15 +351,18 @@ def _direct_lighting(scene_arrays, static, cfg, sp, row, wo, n_f,
             ns = max(1, int(round(cfg.indirect_ns_mult)))
         skey_l = qmc.hash_combine(skey, jnp.uint32(0xABCD01 + 131 * li))
 
-        def sample_terms(sub_idx, skey_v, p_, n_, ng_, row_, wo_, nf_):
+        def sample_terms(sub_idx, skey_v, p_, n_, ng_, row_, wo_, nf_,
+                         dim_u_=None, dim_v_=None):
             """NEE term(s) for lanes of any flat size (N or ns·N)."""
             from ..core.color import luminance as _lum
 
+            du_ = dim_u if dim_u_ is None else dim_u_
+            dv_ = dim_v if dim_v_ is None else dim_v_
             if dyn:
-                u1 = qmc.dynamic_sample_dim(sub_idx, dim_u, skey_v)
-                u2 = qmc.dynamic_sample_dim(sub_idx, dim_v, skey_v)
+                u1 = qmc.dynamic_sample_dim(sub_idx, du_, skey_v)
+                u2 = qmc.dynamic_sample_dim(sub_idx, dv_, skey_v)
             else:
-                u1, u2 = qmc.sample_dim_pair(sub_idx, dim_u, skey_v)
+                u1, u2 = qmc.sample_dim_pair(sub_idx, du_, skey_v)
             smp = _sample_one_light(scene_arrays, static, li, ls, lrow,
                                     p_, u1, u2)
             cos_i = vmath.dot(n_, smp["wi"])
@@ -391,7 +394,7 @@ def _direct_lighting(scene_arrays, static, cfg, sp, row, wo, n_f,
         if ns == 1:
             accum, sh_acc = sample_terms(s_idx * ns, skey_l, sp["p"],
                                          sp["n"], sp["ng"], row, wo, n_f)
-        elif ns * n0 <= (1 << 23):
+        elif ns * n0 <= 5_000_000:  # above: (ns·N, 3) temps OOM'd 16G HBM
             # BATCHED NEE: all ns light samples go through ONE
             # eval/shadow pass over ns·N flat lanes — the r2 scan paid
             # the intersector's per-call fixed cost (ray sort, padding,
@@ -406,9 +409,16 @@ def _direct_lighting(scene_arrays, static, cfg, sp, row, wo, n_f,
                         (ns * n0,) + x.shape[1:])
 
             row_f = {k: tile(v) for k, v in row.items()}
+            # dyn dim bases can be PER-LANE arrays (photonmap final
+            # gather passes hp_bdim) — tile those alongside the lanes
+            du_t = (tile(dim_u) if dyn and getattr(dim_u, "ndim", 0) >= 1
+                    else None)
+            dv_t = (tile(dim_v) if dyn and getattr(dim_v, "ndim", 0) >= 1
+                    else None)
             terms, sh = sample_terms(
                 sub_idx, tile(skey_l), tile(sp["p"]), tile(sp["n"]),
-                tile(sp["ng"]), row_f, tile(wo), tile(n_f))
+                tile(sp["ng"]), row_f, tile(wo), tile(n_f),
+                dim_u_=du_t, dim_v_=dv_t)
             accum = jnp.sum(terms.reshape(ns, n0, 3), axis=0)
             sh_acc = jnp.sum(sh.reshape(ns, n0), axis=0)
         else:
@@ -431,21 +441,29 @@ def _direct_lighting(scene_arrays, static, cfg, sp, row, wo, n_f,
 
 def _ambient_occlusion(scene_arrays, static, cfg, sp, row, wo, n_f,
                        s_idx, skey):
-    """sampleAmbientOcclusion parity (SURVEY §2.10)."""
+    """sampleAmbientOcclusion parity (SURVEY §2.10).  All ao_samples
+    occlusion rays go through ONE batched shadow pass (same fixed-cost
+    argument as the batched NEE in _direct_lighting)."""
     ao_col = jnp.asarray(cfg.ao_color, jnp.float32)
+    ns = cfg.ao_samples
+    n0 = sp["p"].shape[0]
 
-    def body(carry, s):
-        skey_a = qmc.hash_combine(skey, jnp.uint32(0xA0A0) + s)
-        u1, u2 = qmc.sample_dim_pair(s_idx, qmc.BOUNCE_DIMS_START, skey_a)
-        d, _ = sample_cos_hemisphere(n_f, u1, u2)
-        org_s = sp["p"] + n_f * static.shadow_bias
-        dist = jnp.full(u1.shape, cfg.ao_distance, jnp.float32)
-        tr = _shadow_transmission(scene_arrays, static, cfg, org_s, d, dist)
-        return carry + tr * row["diffuse_color"], None
+    def tile(x):
+        return jnp.broadcast_to(x[None], (ns,) + x.shape).reshape(
+            (ns * n0,) + x.shape[1:])
 
-    ao, _ = lax.scan(body, jnp.zeros_like(sp["p"]),
-                     jnp.arange(cfg.ao_samples, dtype=jnp.uint32))
-    return ao * ao_col / cfg.ao_samples
+    s = jnp.arange(ns, dtype=jnp.uint32)
+    skey_a = qmc.hash_combine(tile(skey), jnp.repeat(
+        jnp.uint32(0xA0A0) + s, n0))
+    u1, u2 = qmc.sample_dim_pair(tile(s_idx), qmc.BOUNCE_DIMS_START,
+                                 skey_a)
+    nf_t = tile(n_f)
+    d, _ = sample_cos_hemisphere(nf_t, u1, u2)
+    org_s = tile(sp["p"]) + nf_t * static.shadow_bias
+    dist = jnp.full((ns * n0,), cfg.ao_distance, jnp.float32)
+    tr = _shadow_transmission(scene_arrays, static, cfg, org_s, d, dist)
+    ao = jnp.sum(tr.reshape(ns, n0, 3), axis=0) * row["diffuse_color"]
+    return ao * ao_col / ns
 
 
 def make_sample_step(static, camera, cfg: RenderConfig,

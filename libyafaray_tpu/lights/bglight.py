@@ -4,8 +4,9 @@ Reference: src/lights/bglight.cc (SURVEY §2.6): marginal-row +
 conditional-column 1-D CDF tables over a lat-long luminance grid with sinθ
 weighting; pdf conversions for MIS against BSDF-sampled environment hits.
 
-TPU-native: the CDFs are built once at scene compile (numpy) and sampled
-with two vectorized searchsorted calls per lane.
+TPU-native: a flat Walker alias table is built once at scene compile
+(numpy) and sampled with two data-dependent gathers per lane
+(lights/alias.py).
 """
 from __future__ import annotations
 
@@ -17,58 +18,56 @@ from ..core import math as vmath
 
 def build_bg_cdf(image: np.ndarray) -> dict:
     """image: (H,W,3) linear lat-long map (v=0 top ⇒ θ=0).
-    Returns numpy arrays: row_cdf (H+1,), col_cdf (H, W+1), pdf_grid (H,W)
-    where pdf_grid is the probability density over the unit (u,v) square."""
+    Returns numpy arrays: a flat (H·W) alias table (prob + alias) over
+    sinθ-weighted texel luminance plus pdf_grid (H,W), the probability
+    density over the unit (u,v) square (the role of bglight.cc's CDF
+    pair — see sample_bg_light for why alias instead of CDF here)."""
+    from .alias import build_alias_table
+
     img = np.maximum(np.asarray(image, np.float64), 0.0)
     h, w = img.shape[:2]
     lum = img.mean(axis=-1)
     theta = (np.arange(h) + 0.5) / h * np.pi
     weight = lum * np.sin(theta)[:, None]
-    row_w = weight.sum(axis=1)
-    total = row_w.sum()
+    total = weight.sum()
     if total <= 0:
         weight = np.ones_like(weight)
-        row_w = weight.sum(axis=1)
-        total = row_w.sum()
-    row_cdf = np.concatenate([[0.0], np.cumsum(row_w / total)])
-    row_cdf[-1] = 1.0
-    col_cdf = np.zeros((h, w + 1))
-    safe = np.maximum(row_w, 1e-20)
-    col_cdf[:, 1:] = np.cumsum(weight / safe[:, None], axis=1)
-    col_cdf[:, -1] = 1.0
+        total = weight.sum()
+    prob, alias = build_alias_table(weight.ravel())
     # density over (u,v) in [0,1)²: p(u,v) = w(y,x)·H·W / total
     pdf_grid = weight * (h * w) / total
     return dict(
-        bg_row_cdf=row_cdf.astype(np.float32),
-        bg_col_cdf=col_cdf.astype(np.float32),
+        bg_alias_prob=prob,
+        bg_alias=alias,
         bg_pdf_grid=pdf_grid.astype(np.float32),
     )
 
 
 def sample_bg_light(arrays, spec, p, u1, u2):
-    """Sample an incident direction from the environment CDFs.
-    Returns dict(wi, dist, li, pdf (solid angle), delta=False, valid)."""
-    row_cdf = arrays["bg_row_cdf"]
-    col_cdf = arrays["bg_col_cdf"]
+    """Sample an incident direction from the environment importance
+    table.  Returns dict(wi, dist, li, pdf (solid angle), delta=False,
+    valid).
+
+    TPU-native: a single flat Walker alias table over all H·W texels
+    (lights/alias.py) replaces the reference's marginal-row +
+    conditional-column CDF bisections — 2 data-dependent gathers per
+    sample instead of ~21 (the bisections' scalar gathers measured as
+    the dominant term of the whole IBL config's step time).  The QMC
+    pair (u1,u2) keeps its roles: u1 picks the texel (plus rescaled
+    in-cell u), u2 the in-cell v."""
+    prob = arrays["bg_alias_prob"]
+    alias = arrays["bg_alias"]
     pdf_grid = arrays["bg_pdf_grid"]
     img = arrays["bg_image"]
     h, w = pdf_grid.shape
 
-    y = jnp.clip(jnp.searchsorted(row_cdf, u1, side="right") - 1, 0, h - 1)
-    lo = row_cdf[y]
-    hi = row_cdf[y + 1]
-    dv = jnp.clip((u1 - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0 - 1e-6)
-    v = (y.astype(jnp.float32) + dv) / h
+    from .alias import sample_alias
 
-    cc = col_cdf[y]  # (N, W+1)
-    x = jnp.clip(
-        jax_vector_searchsorted(cc, u2) - 1, 0, w - 1
-    )
-    clo = jnp.take_along_axis(cc, x[:, None], axis=1)[:, 0]
-    chi = jnp.take_along_axis(cc, x[:, None] + 1, axis=1)[:, 0]
-    du = jnp.clip((u2 - clo) / jnp.maximum(chi - clo, 1e-12), 0.0,
-                  1.0 - 1e-6)
+    cell, du = sample_alias(prob, alias, u1)
+    y = cell // w
+    x = cell - y * w
     u = (x.astype(jnp.float32) + du) / w
+    v = (y.astype(jnp.float32) + jnp.clip(u2, 0.0, 1.0 - 1e-6)) / h
 
     from ..backgrounds.base import uv_to_dir
 
@@ -96,21 +95,3 @@ def pdf_bg_dir(arrays, spec, d):
     theta = v * jnp.pi
     sin_t = jnp.maximum(jnp.sin(theta), 1e-5)
     return pdf_grid[y, x] / (2.0 * jnp.pi * jnp.pi * sin_t)
-
-
-def jax_vector_searchsorted(sorted_rows, vals):
-    """Row-wise searchsorted: sorted_rows (N, K) monotone rows, vals (N,).
-    Vectorized binary search (static log2(K) steps on the VPU)."""
-    n, k = sorted_rows.shape
-    lo = jnp.zeros((n,), jnp.int32)
-    hi = jnp.full((n,), k, jnp.int32)
-    steps = int(np.ceil(np.log2(max(k, 2)))) + 1
-    for _ in range(steps):
-        mid = (lo + hi) // 2
-        midv = jnp.take_along_axis(sorted_rows,
-                                   jnp.clip(mid[:, None], 0, k - 1),
-                                   axis=1)[:, 0]
-        go_right = midv <= vals
-        lo = jnp.where(go_right, jnp.minimum(mid + 1, k), lo)
-        hi = jnp.where(go_right, hi, mid)
-    return lo

@@ -85,9 +85,10 @@ def morton_order(v0, e1, e2):
 
 def _pick_bt(t: int) -> int:
     """Cluster width.  Small clusters = tight AABBs = effective culling;
-    the limit is the per-block cluster LIST in SMEM ((n_blocks, C) i32,
-    see _block_cluster_order), so width grows with scene size to keep C
-    bounded (~256).  LIBYAF_BT env overrides for experiments."""
+    since r3 moved the per-block cluster lists out of SMEM (each block
+    DMAs its own (C,) row HBM→SMEM scratch, see _closest_kernel_stream)
+    C is no longer SMEM-bound, so width is chosen purely by measured
+    per-visit overhead vs culling quality.  LIBYAF_BT env overrides."""
     import os
 
     ov = os.environ.get("LIBYAF_BT")
@@ -98,6 +99,26 @@ def _pick_bt(t: int) -> int:
     if t <= 65536:
         return 256
     return BT
+
+
+def _pick_bq() -> int:
+    """Rays per block.  Smaller blocks = tighter ray corridors = fewer
+    clusters visited per block (the dominant cost at scene scale), at
+    the price of more grid steps.  LIBYAF_BQ env overrides."""
+    import os
+
+    ov = os.environ.get("LIBYAF_BQ")
+    return int(ov) if ov else BQ
+
+
+def _slab_mode() -> bool:
+    """Whether the streaming kernels re-check each listed cluster's slab
+    against the block's live best-t before running the MT tile (front-
+    to-back early termination).  The check costs a vector→scalar
+    reduction + branch per visit; LIBYAF_SLAB=0 disables it."""
+    import os
+
+    return os.environ.get("LIBYAF_SLAB", "1") == "1"
 
 
 def build_tri_pack(v0, e1, e2, order=None):
@@ -339,10 +360,10 @@ def _shadow_kernel(tri_ref, cl_ref, logf_ref, org_ref, dir_ref, inv_ref,
         lg_out[:] = jnp.concatenate(cols, axis=1)
 
 
-def _pad_rays(cols):
-    """Pad (N, c) ray arrays to a BQ multiple; returns (padded..., N)."""
+def _pad_rays(cols, bq=BQ):
+    """Pad (N, c) ray arrays to a bq multiple; returns (padded..., N)."""
     n = cols[0].shape[0]
-    pad = (-n) % BQ
+    pad = (-n) % bq
     if pad:
         cols = [jnp.pad(c, ((0, pad), (0, 0))) for c in cols]
     return cols, n
@@ -405,6 +426,17 @@ def _block_cluster_order(org, dirn, tmin, tmax, cluster8, bq: int):
     return order, count
 
 
+def _order_groups(order):
+    """Reshape the (B, C) cluster-order table for 8-aligned group DMA:
+    rows padded to a multiple of 8, columns to a multiple of 128
+    (Mosaic DMA slice tiling), grouped as (G, 8, C128)."""
+    bb, c = order.shape
+    c128 = ((c + 127) // 128) * 128
+    b8 = ((bb + 7) // 8) * 8
+    order = jnp.pad(order, ((0, b8 - bb), (0, c128 - c)))
+    return order.reshape(b8 // 8, 8, c128), c128
+
+
 def _stream_pipeline(cnt, get_dma, process):
     """Two-slot software pipeline over a block's cluster list with
     STATIC slot indices (a dynamic first-dim VMEM index per iteration
@@ -441,20 +473,34 @@ def _stream_pipeline(cnt, get_dma, process):
     jax.lax.fori_loop(0, (cnt + 1) // 2, body, 0)
 
 
-def _closest_kernel_stream(order_ref, count_ref, tri_hbm, cl_ref, org_ref,
+def _closest_kernel_stream(order_hbm, count_ref, tri_hbm, cl_ref, org_ref,
                            dir_ref, inv_ref, tlim_ref,
-                           t_out, tri_out, u_out, v_out, tri_buf, sems):
+                           t_out, tri_out, u_out, v_out, tri_buf, ord_smem,
+                           sems, osem, *, do_slab=True):
     """Streaming front-to-back kernel: ONE grid step per ray block; the
-    block's active-cluster list (order_ref/count_ref, scalar-prefetched)
-    is walked by an in-kernel pipeline that double-buffers each
-    (16, bt) triangle tile HBM->VMEM with explicit DMA.  This removes
-    the measured ~4.5 us fixed cost per Pallas grid step that made a
-    (blocks x clusters) grid regress at fine cluster widths — the grid
-    is n_blocks steps total, and skipped clusters cost one scalar
-    branch, not a grid step."""
+    block's active-cluster list (its row of order_hbm, DMA'd into SMEM
+    scratch — whole-array SMEM operands hit the 1 MB cap at fine
+    cluster widths) is walked by an in-kernel pipeline that double-
+    buffers each (16, bt) triangle tile HBM->VMEM with explicit DMA.
+    This removes the measured ~4.5 us fixed cost per Pallas grid step
+    that made a (blocks x clusters) grid regress at fine cluster widths
+    — the grid is n_blocks steps total, and skipped clusters cost one
+    scalar branch, not a grid step."""
     i = pl.program_id(0)
     cnt = count_ref[i]
     bt = tri_buf.shape[-1]
+    sub = i % 8
+
+    # one (8, C128) group DMA per 8 consecutive blocks: Mosaic DMA
+    # slices need 8-aligned sublanes (a (1, C) row slice is rejected),
+    # and scratch persists across grid steps, so the group fetch is
+    # amortized — blocks 8g..8g+7 all read ord_smem[i % 8]
+    @pl.when(sub == 0)
+    def _():
+        ocp = pltpu.make_async_copy(order_hbm.at[i // 8], ord_smem, osem)
+        ocp.start()
+        ocp.wait()
+
     t_out[:] = jnp.full_like(t_out, jnp.inf)
     tri_out[:] = jnp.zeros_like(tri_out)
     u_out[:] = jnp.zeros_like(u_out)
@@ -462,20 +508,15 @@ def _closest_kernel_stream(order_ref, count_ref, tri_hbm, cl_ref, org_ref,
     tmin, tmax = tlim_ref[:, 0:1], tlim_ref[:, 1:2]
 
     def get_dma(slot, j):
-        c = order_ref[i, j]
+        c = ord_smem[sub, j]
         return pltpu.make_async_copy(
             tri_hbm.at[:, pl.ds(c * bt, bt)], tri_buf.at[slot],
             sems.at[slot])
 
     def process(slot, j):
-        c = order_ref[i, j]
-        # front-to-back early termination: once every ray's best hit is
-        # nearer than this cluster's entry the whole MT tile is skipped
-        any_hit = _slab_any(cl_ref, c, org_ref, inv_ref, tmin,
-                            jnp.minimum(tmax, t_out[:]))
+        c = ord_smem[sub, j]
 
-        @pl.when(any_hit > 0.0)
-        def _():
+        def mt_tile():
             tri_ref = tri_buf[slot]
             if MXU_MT:
                 ctr = tuple(0.5 * (cl_ref[a, c] + cl_ref[a + 3, c])
@@ -502,39 +543,50 @@ def _closest_kernel_stream(order_ref, count_ref, tri_hbm, cl_ref, org_ref,
             u_out[:] = jnp.where(better, u_sel, u_out[:])
             v_out[:] = jnp.where(better, v_sel, v_out[:])
 
+        if do_slab:
+            # front-to-back early termination: once every ray's best hit
+            # is nearer than this cluster's entry skip the whole MT tile
+            any_hit = _slab_any(cl_ref, c, org_ref, inv_ref, tmin,
+                                jnp.minimum(tmax, t_out[:]))
+            pl.when(any_hit > 0.0)(mt_tile)
+        else:
+            mt_tile()
+
     _stream_pipeline(cnt, get_dma, process)
 
 
-def _shadow_kernel_stream(order_ref, count_ref, tri_hbm, cl_ref, org_ref,
+def _shadow_kernel_stream(order_hbm, count_ref, tri_hbm, cl_ref, org_ref,
                           dir_ref, inv_ref, dist_ref, lg_out, tri_buf,
-                          sems):
+                          ord_smem, sems, osem, *, do_slab=True):
     """Streaming shadow kernel over a (16, T) pack (tri rows 0:10 +
     rgb log-filter rows 10:13 + pad), same structure as
     _closest_kernel_stream."""
     i = pl.program_id(0)
     cnt = count_ref[i]
     bt = tri_buf.shape[-1]
+    sub = i % 8
+
+    @pl.when(sub == 0)
+    def _():
+        ocp = pltpu.make_async_copy(order_hbm.at[i // 8], ord_smem, osem)
+        ocp.start()
+        ocp.wait()
+
     lg_out[:] = jnp.zeros_like(lg_out)
     dist = dist_ref[:, 0:1]
     tmin = 5e-4
     tmax = dist * (1.0 - 1e-4) - 5e-4
 
     def get_dma(slot, j):
-        c = order_ref[i, j]
+        c = ord_smem[sub, j]
         return pltpu.make_async_copy(
             tri_hbm.at[:, pl.ds(c * bt, bt)], tri_buf.at[slot],
             sems.at[slot])
 
     def process(slot, j):
-        c = order_ref[i, j]
-        any_hit = _slab_any(cl_ref, c, org_ref, inv_ref,
-                            jnp.full_like(dist, tmin), tmax)
-        # opacity early-out: once every ray's log-transmission has
-        # saturated to opaque, later clusters can't change the result
-        not_done = jnp.max(lg_out[:]) > -79.0
+        c = ord_smem[sub, j]
 
-        @pl.when((any_hit > 0.0) & not_done)
-        def _():
+        def mt_tile():
             tri_ref = tri_buf[slot]
             if MXU_MT:
                 ctr = tuple(0.5 * (cl_ref[a, c] + cl_ref[a + 3, c])
@@ -551,6 +603,16 @@ def _shadow_kernel_stream(order_ref, count_ref, tri_hbm, cl_ref, org_ref,
                               keepdims=True)
                 cols.append(jnp.maximum(lg[:, ci:ci + 1] + acc, -80.0))
             lg_out[:] = jnp.concatenate(cols, axis=1)
+
+        if do_slab:
+            any_hit = _slab_any(cl_ref, c, org_ref, inv_ref,
+                                jnp.full_like(dist, tmin), tmax)
+            # opacity early-out: once every ray's log-transmission has
+            # saturated opaque, later clusters can't change the result
+            not_done = jnp.max(lg_out[:]) > -79.0
+            pl.when((any_hit > 0.0) & not_done)(mt_tile)
+        else:
+            mt_tile()
 
     _stream_pipeline(cnt, get_dma, process)
 
@@ -609,9 +671,10 @@ def closest_hit_pallas(tri_pack10, cluster8, org, dirn, tmin, tmax,
             [org, dirn, tmin[:, None], tmax[:, None]], axis=1)[perm]
         org, dirn = ray_pack[:, 0:3], ray_pack[:, 3:6]
         tmin, tmax = ray_pack[:, 6], ray_pack[:, 7]
+    bq = _pick_bq()
     (org_p, dir_p, inv_p, tlim), n = _pad_rays(
-        [org, dirn, _inv_dir(dirn), jnp.stack([tmin, tmax], axis=1)])
-    grid = (org_p.shape[0] // BQ, n_cl)
+        [org, dirn, _inv_dir(dirn), jnp.stack([tmin, tmax], axis=1)], bq)
+    grid = (org_p.shape[0] // bq, n_cl)
     out_shape = [
         jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.float32),
         jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.int32),
@@ -620,22 +683,26 @@ def closest_hit_pallas(tri_pack10, cluster8, org, dirn, tmin, tmax,
     ]
     if use_fb:
         order, count = _block_cluster_order(
-            org_p, dir_p, tlim[:, 0], tlim[:, 1], cluster8, BQ)
+            org_p, dir_p, tlim[:, 0], tlim[:, 1], cluster8, bq)
+        order, c128 = _order_groups(order)
         # DMA-sliceable VMEM tiles need sublane counts aligned to 8:
         # pad the 10-row pack to 16 rows (rows 10:16 unused)
         pack16 = jnp.pad(tri_pack10, ((0, 6), (0, 0)))
-        # order/count ride as plain SMEM operands (NOT scalar
-        # prefetch: the manual DMA reads indices in the kernel body, and
-        # PrefetchScalarGridSpec kernels took 15+ min per remote Mosaic
-        # compile in this environment vs ~seconds without)
+        # count rides as a plain SMEM operand; order stays in HBM and
+        # each block DMAs its own (C,) row into SMEM scratch in-kernel
+        # (a whole-array SMEM operand exceeds the 1 MB SMEM cap at fine
+        # cluster widths, and PrefetchScalarGridSpec kernels took
+        # 15+ min per remote Mosaic compile in this environment)
         qspec_fb = lambda c: pl.BlockSpec(
-            (BQ, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            (bq, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         t, tri, u, v = pl.pallas_call(
-            _closest_kernel_stream,
+            functools.partial(_closest_kernel_stream,
+                              do_slab=_slab_mode()),
             grid=(grid[0],),
             in_specs=[
-                smem, smem,
+                pl.BlockSpec(memory_space=pltpu.ANY),  # order in HBM
+                smem,
                 pl.BlockSpec(memory_space=pltpu.ANY),  # pack in HBM
                 smem,
                 qspec_fb(3), qspec_fb(3), qspec_fb(3), qspec_fb(2),
@@ -643,13 +710,15 @@ def closest_hit_pallas(tri_pack10, cluster8, org, dirn, tmin, tmax,
             out_specs=[qspec_fb(1)] * 4,
             scratch_shapes=[
                 pltpu.VMEM((2, 16, bt), jnp.float32),
+                pltpu.SMEM((8, c128), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
             ],
             out_shape=out_shape,
             interpret=INTERPRET,
         )(order, count, pack16, cluster8, org_p, dir_p, inv_p, tlim)
     else:
-        qspec = lambda c: pl.BlockSpec((BQ, c), lambda i, j: (i, 0),
+        qspec = lambda c: pl.BlockSpec((bq, c), lambda i, j: (i, 0),
                                        memory_space=pltpu.VMEM)
         t, tri, u, v = pl.pallas_call(
             _closest_kernel,
@@ -698,33 +767,37 @@ def shadow_transmission_pallas(tri_pack10, cluster8, filt4, org, dirn,
                                    axis=1)[perm]
         org, dirn, dist = (ray_pack[:, 0:3], ray_pack[:, 3:6],
                            ray_pack[:, 6])
+    bq = _pick_bq()
     (org_p, dir_p, inv_p, dist_p), n = _pad_rays(
-        [org, dirn, _inv_dir(dirn), dist[:, None]])
+        [org, dirn, _inv_dir(dirn), dist[:, None]], bq)
     pad = tri_pack10.shape[1] - filt4.shape[1]
     if pad:
         # padded triangles never hit; filter value is irrelevant but keep 1
         filt4 = jnp.pad(filt4, ((0, 0), (0, pad)), constant_values=1.0)
     # per-tri log filter rows; -80 (exp -> flushed 0) marks opaque
     logf4 = jnp.maximum(jnp.log(jnp.maximum(filt4, 1e-35)), -80.0)
-    grid = (org_p.shape[0] // BQ, n_cl)
+    grid = (org_p.shape[0] // bq, n_cl)
     out_shape = jax.ShapeDtypeStruct((org_p.shape[0], 3), jnp.float32)
     if use_fb:
         d = dist_p[:, 0]
         order, count = _block_cluster_order(
             org_p, dir_p, jnp.full_like(d, 5e-4),
-            d * (1.0 - 1e-4) - 5e-4, cluster8, BQ)
+            d * (1.0 - 1e-4) - 5e-4, cluster8, bq)
+        order, c128 = _order_groups(order)
         # (16, T) streamed pack: tri rows 0:10 + rgb log-filter rows
         # 10:13 + padding to the 8-sublane DMA alignment
         pack16 = jnp.concatenate(
             [tri_pack10, logf4,
              jnp.zeros((2, tri_pack10.shape[1]), jnp.float32)], axis=0)
         qspec_fb = lambda c: pl.BlockSpec(
-            (BQ, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            (bq, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         lg = pl.pallas_call(
-            _shadow_kernel_stream,
+            functools.partial(_shadow_kernel_stream,
+                              do_slab=_slab_mode()),
             grid=(grid[0],),
-            in_specs=[smem, smem,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),  # order HBM
+                      smem,
                       pl.BlockSpec(memory_space=pltpu.ANY),
                       smem,
                       qspec_fb(3), qspec_fb(3), qspec_fb(3),
@@ -732,13 +805,15 @@ def shadow_transmission_pallas(tri_pack10, cluster8, filt4, org, dirn,
             out_specs=qspec_fb(3),
             scratch_shapes=[
                 pltpu.VMEM((2, 16, bt), jnp.float32),
+                pltpu.SMEM((8, c128), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
             ],
             out_shape=out_shape,
             interpret=INTERPRET,
         )(order, count, pack16, cluster8, org_p, dir_p, inv_p, dist_p)
     else:
-        qspec = lambda c: pl.BlockSpec((BQ, c), lambda i, j: (i, 0),
+        qspec = lambda c: pl.BlockSpec((bq, c), lambda i, j: (i, 0),
                                        memory_space=pltpu.VMEM)
         tspec = lambda c: pl.BlockSpec((c, bt), lambda i, j: (0, j),
                                        memory_space=pltpu.VMEM)

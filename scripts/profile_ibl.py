@@ -33,6 +33,15 @@ def build(variant: str, res: int):
     if variant == "bilinear":
         text = text.replace("mipmap_trilinear", "bilinear").replace(
             "mipmap_ewa", "bilinear")
+    if variant == "noibl":
+        # the IBL light is appended at scene COMPILE from the bg spec —
+        # disabling scene.lights rows misses it (r3 ablation bug)
+        text = text.replace('<ibl bval="true"/>', '<ibl bval="false"/>')
+    if variant == "nosphere":
+        import re as _re
+
+        text = _re.sub(r"<sphere name=\"s\d\">.*?</sphere>", "", text,
+                       flags=_re.S)
     tmp = os.path.join(tempfile.gettempdir(), f"ibl_{variant}.xml")
     with open(tmp, "w") as f:
         f.write(text)
@@ -54,14 +63,14 @@ def build(variant: str, res: int):
                 if k in row:
                     row[k] = -1
             row["node_prog"] = -1
-    if variant == "noibl":
-        for row in scene.lights:
-            row["enabled"] = False
     cfg = build_config(scene)
     kw = dict(cfg.__dict__, width=res, height=res, aa_samples=4,
               aa_passes=1)
     if variant == "spp4":
         kw["spp_batch"] = 4
+    if variant == "bounces1":
+        kw["bounces"] = 1
+        kw["raydepth"] = 2
     return scene.compile(), RenderConfig(**kw)
 
 
@@ -77,7 +86,7 @@ def main():
 
     print(f"device: {jax.devices()[0]}  res={res} steps={steps}",
           flush=True)
-    for variant in ("full", "bilinear", "notex", "noibl", "spp4"):
+    for variant in ("full", "bilinear", "noibl", "nosphere", "bounces1"):
         try:
             cs, cfg = build(variant, res)
         except Exception as e:  # noqa: BLE001

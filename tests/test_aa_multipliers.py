@@ -30,8 +30,8 @@ def _tiny_scene():
     sc.start_tri_mesh()
     for (x, y) in ((-1, -1), (1, -1), (1, 1), (-1, 1)):
         sc.add_vertex(x, y, 0.0)
-    sc.add_triangle(0, 1, 2, 0)
-    sc.add_triangle(0, 2, 3, 0)
+    sc.add_triangle(0, 1, 2, "w")
+    sc.add_triangle(0, 2, 3, "w")
     sc.end_tri_mesh()
     sc.create_light("L", ParamMap({
         "type": "arealight", "corner": (-0.3, -0.3, 2.0),

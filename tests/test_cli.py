@@ -47,18 +47,27 @@ def _run_cli(scene_path, out_path, extra=()):
     return img
 
 
+# CPU-practical budgets for every config: the gate checks CLI plumbing
+# (parse -> build -> render -> write -> stats), not physics — that lives
+# in test_golden.py.  Without these subs the photon config alone runs
+# >25 min on CPU (AA 16 x fg 16 x search 100 brute-force).
+_FAST = ((r'<AA_minsamples ival="\d+"/>', '<AA_minsamples ival="4"/>'),
+         (r'<samples ival="\d+"/>', '<samples ival="4"/>'))
+
 @pytest.mark.parametrize("scene,subs", [
-    ("cornell.xml", ()),
-    ("cornell_path.xml", ()),
-    ("cornell_photon.xml", ((r'<photons ival="\d+"/>',
-                             '<photons ival="8192"/>'),
-                            (r'<cPhotons ival="\d+"/>',
-                             '<cPhotons ival="8192"/>'))),
-    ("cornell_sppm.xml", ((r'<photons ival="\d+"/>',
-                           '<photons ival="8192"/>'),
-                          (r'<passNums ival="\d+"/>',
-                           '<passNums ival="2"/>'))),
-    ("ibl_spheres.xml", ()),
+    ("cornell.xml", _FAST),
+    ("cornell_path.xml", _FAST),
+    ("cornell_photon.xml", _FAST + (
+        (r'<photons ival="\d+"/>', '<photons ival="8192"/>'),
+        (r'<cPhotons ival="\d+"/>', '<cPhotons ival="8192"/>'),
+        (r'<fg_samples ival="\d+"/>', '<fg_samples ival="4"/>'),
+        (r'<search ival="\d+"/>', '<search ival="16"/>'),
+        (r'<bounces ival="\d+"/>', '<bounces ival="3"/>'))),
+    ("cornell_sppm.xml", _FAST + (
+        (r'<photons ival="\d+"/>', '<photons ival="8192"/>'),
+        (r'<passNums ival="\d+"/>', '<passNums ival="2"/>'),
+        (r'<search ival="\d+"/>', '<search ival="16"/>'))),
+    ("ibl_spheres.xml", _FAST),
 ])
 @pytest.mark.slow
 def test_cli_baseline_config(tmp_path, scene, subs):
