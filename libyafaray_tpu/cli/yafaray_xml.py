@@ -50,7 +50,28 @@ def main(argv=None):
     ap.add_argument("--devices", type=int, default=None, metavar="N",
                     help="accelerators to use (default: all visible; "
                          "1 disables the multi-device film mesh)")
+    ap.add_argument("--compile-cache", default="~/.cache/libyafaray_tpu_xla",
+                    metavar="DIR",
+                    help="persistent XLA compilation cache directory "
+                         "('' disables).  On directly-attached TPU "
+                         "runtimes this converts repeat invocations to "
+                         "steady-state + I/O; remote-compile tunnels "
+                         "(axon) ignore it — see PARITY.md")
     args = ap.parse_args(argv)
+
+    if args.compile_cache:
+        try:
+            import jax
+
+            cache_dir = os.path.expanduser(args.compile_cache)
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes", -1)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
+        except Exception:  # noqa: BLE001 - cache is best-effort
+            pass
 
     level = dict(mute=logging.CRITICAL, error=logging.ERROR,
                  warning=logging.WARNING, info=logging.INFO,

@@ -49,7 +49,11 @@ BQ = 512      # rays per block (512 amortizes grid-step overhead ~1.6x
 BT = 512      # vs 256; measured on v5e)  # triangles per cluster/block
 INTERPRET = False  # tests flip this to run kernels on CPU
 NEG_EPS = 1e-12
-MAX_TRIS = 65536  # dense-path budget (scene compile picks BVH above this)
+MAX_TRIS = 131072  # dense-path budget (scene compile picks BVH above
+# this).  r3: raised from 64K after the streaming cluster kernels at
+# BT=1024 measured 222 ms / 262K incoherent rays at 100K tris vs the
+# gather-walk BVH's ~900-1500 ms; the pack (16 rows x T) is staged into
+# VMEM by Mosaic, which bounds T at ~128K (8.4 MB of the 16 MB budget).
 _BIG_I32 = 2 ** 30  # python int: jnp scalars become captured consts
 
 
@@ -98,7 +102,8 @@ def _pick_bt(t: int) -> int:
         return 128
     if t <= 65536:
         return 256
-    return BT
+    return 1024  # r3 sweep: coarser tiles win above 64K (fewer
+    # per-visit fixed costs; culling quality is corridor-bound anyway)
 
 
 def _pick_bq() -> int:
@@ -701,9 +706,9 @@ def closest_hit_pallas(tri_pack10, cluster8, org, dirn, tmin, tmax,
                               do_slab=_slab_mode()),
             grid=(grid[0],),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # order in HBM
+                pl.BlockSpec(memory_space=pltpu.HBM),  # order in HBM
                 smem,
-                pl.BlockSpec(memory_space=pltpu.ANY),  # pack in HBM
+                pl.BlockSpec(memory_space=pltpu.HBM),  # pack in HBM
                 smem,
                 qspec_fb(3), qspec_fb(3), qspec_fb(3), qspec_fb(2),
             ],
@@ -796,9 +801,9 @@ def shadow_transmission_pallas(tri_pack10, cluster8, filt4, org, dirn,
             functools.partial(_shadow_kernel_stream,
                               do_slab=_slab_mode()),
             grid=(grid[0],),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),  # order HBM
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),  # order HBM
                       smem,
-                      pl.BlockSpec(memory_space=pltpu.ANY),
+                      pl.BlockSpec(memory_space=pltpu.HBM),
                       smem,
                       qspec_fb(3), qspec_fb(3), qspec_fb(3),
                       qspec_fb(1)],

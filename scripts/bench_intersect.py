@@ -31,6 +31,52 @@ def make_soup(n, seed=0, extent=10.0, tri_size=0.4):
     return v0, e1, e2
 
 
+def make_spheres_scene(n_target, seed=0, extent=10.0):
+    """A realistic SURFACE scene at ~n_target tris: ~60 UV-sphere shells
+    scattered in a box plus the box walls.  Unlike the volumetric soup
+    (whose Morton clusters overlap pervasively — worst case for AABB
+    culling), surface geometry gives clusters the tight, disjoint boxes
+    real scenes have."""
+    rng = np.random.default_rng(seed)
+    n_sph = 60
+    per = max(n_target // n_sph, 32)
+    # rings x segs quads = 2*rings^2 -> 4*rings^2 tris ~ per
+    rings = max(int(np.sqrt(per / 4)), 3)
+    segs = 2 * rings
+    v0s, e1s, e2s = [], [], []
+
+    def add_quad_mesh(P):  # P: (R+1, S+1, 3) grid
+        a = P[:-1, :-1].reshape(-1, 3)
+        b = P[1:, :-1].reshape(-1, 3)
+        c = P[1:, 1:].reshape(-1, 3)
+        d = P[:-1, 1:].reshape(-1, 3)
+        v0s.append(a); e1s.append(b - a); e2s.append(c - a)
+        v0s.append(a); e1s.append(c - a); e2s.append(d - a)
+
+    th = np.linspace(0, np.pi, rings + 1)
+    ph = np.linspace(0, 2 * np.pi, segs + 1)
+    T, Ph = np.meshgrid(th, ph, indexing="ij")
+    unit = np.stack([np.sin(T) * np.cos(Ph), np.sin(T) * np.sin(Ph),
+                     np.cos(T)], axis=-1)
+    for _ in range(n_sph):
+        ctr = rng.uniform(-0.8 * extent, 0.8 * extent, 3)
+        rad = rng.uniform(0.08, 0.22) * extent
+        add_quad_mesh(ctr + rad * unit)
+    # box walls (coarse grids so wall clusters stay tight)
+    g = np.linspace(-extent, extent, 17)
+    G1, G2 = np.meshgrid(g, g, indexing="ij")
+    E = np.full_like(G1, extent)
+    for P in (np.stack([G1, G2, -E], -1), np.stack([G1, G2, E], -1),
+              np.stack([G1, -E, G2], -1), np.stack([G1, E, G2], -1),
+              np.stack([-E, G1, G2], -1), np.stack([E, G1, G2], -1)):
+        add_quad_mesh(P)
+    v0 = np.concatenate(v0s).astype(np.float32)
+    e1 = np.concatenate(e1s).astype(np.float32)
+    e2 = np.concatenate(e2s).astype(np.float32)
+    keep = (np.linalg.norm(np.cross(e1, e2), axis=1) > 1e-10)
+    return v0[keep], e1[keep], e2[keep]
+
+
 def make_rays(n, kind, seed=1, ctr=None, ext=None):
     rng = np.random.default_rng(seed)
     ctr = np.zeros(3) if ctr is None else np.asarray(ctr)
@@ -115,6 +161,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="2600,20000,100000")
     ap.add_argument("--scenes", default="")
+    ap.add_argument("--spheres", default="",
+                    help="comma list of target tri counts for the "
+                         "surface-scene generator")
     ap.add_argument("--nrays", type=int, default=262144)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--out", default="")
@@ -133,8 +182,14 @@ def main():
     results = []
     cases = [("soup", int(s)) for s in args.sizes.split(",") if s]
     cases += [("scene", s) for s in args.scenes.split(",") if s]
+    if args.spheres:
+        cases += [("spheres", int(s)) for s in args.spheres.split(",")]
     for kind_geo, n_tris in cases:
-        if kind_geo == "scene":
+        if kind_geo == "spheres":
+            v0, e1, e2 = make_spheres_scene(n_tris)
+            n_tris = v0.shape[0]
+            ctr, ext = np.zeros(3), np.full(3, 9.0)
+        elif kind_geo == "scene":
             v0, e1, e2 = scene_tris(n_tris)
             n_tris = v0.shape[0]
             # rays from inside the scene's bbox
