@@ -210,12 +210,12 @@ def build_photon_maps(cscene, cfg: RenderConfig, arrays, mesh=None):
     return (diffuse_pack, caustic_pack, radiance_pack, n_em_d, n_em_c)
 
 
-# Largest camera-lane band the photon gathers have proven stable on the
-# TPU runtime: the fused fg-scan + photon-grid gather step faults the TPU
-# worker ("kernel fault") above ~16K lanes, so larger films shade in
-# 16K-lane bands compiled once and looped on the host (PARITY.md known
-# issues).  Pathtracing (no photon gathers) runs fine at 262K lanes.
-LANE_CHUNK = 1 << 14
+# r2 worked around a TPU-worker "kernel fault" in the fused fg-scan +
+# photon-grid gather above ~16K camera lanes by shading in host-looped
+# 16K-lane bands.  The r3 repro (scripts/repro_photon_fault.py: isolated
+# kernels, fused scans and the real photonmap step, 16K-262K lanes, 350K
+# photons) no longer triggers it on this runtime, so the band loop is
+# gone and the step shades all lanes in ONE jitted call.
 
 
 def make_photon_sample_step(cscene, cfg: RenderConfig, grids, mesh=None):
@@ -442,43 +442,13 @@ def make_photon_sample_step(cscene, cfg: RenderConfig, grids, mesh=None):
             in_shardings=(repl, out_sh, NamedSharding(mesh, P(axis, None))),
             out_shardings=out_sh, donate_argnums=(1,))
 
-    if n <= LANE_CHUNK:
-        def sample_step(arrays, film, flags):
-            s_idx = film["nsamples"].reshape(-1).astype(jnp.uint32)
-            L, dx, dy, nrays = shade_lanes(arrays, s_idx, px, py,
-                                           pixel_hash, flags.reshape(-1))
-            return splat(film, L, dx, dy, flags, nrays)
-
-        return jax.jit(sample_step, donate_argnums=(1,))
-
-    # band-chunked path: shade in LANE_CHUNK bands (one compile, host
-    # loop), splat the assembled plane once
-    k = LANE_CHUNK
-    n_pad = -(-n // k) * k
-    pad = n_pad - n
-    px_p = jnp.pad(px, (0, pad))
-    py_p = jnp.pad(py, (0, pad))
-    ph_p = jnp.pad(pixel_hash, (0, pad))
-    shade_j = jax.jit(shade_lanes)
-    splat_j = jax.jit(splat, donate_argnums=(0,))
-
     def sample_step(arrays, film, flags):
-        s_idx = jnp.pad(film["nsamples"].reshape(-1).astype(jnp.uint32),
-                        (0, pad))
-        active = jnp.pad(flags.reshape(-1), (0, pad))
-        Ls, dxs, dys, nrays = [], [], [], 0.0
-        for c0 in range(0, n_pad, k):
-            Lc, dxc, dyc, nr = shade_j(
-                arrays, s_idx[c0:c0 + k], px_p[c0:c0 + k],
-                py_p[c0:c0 + k], ph_p[c0:c0 + k], active[c0:c0 + k])
-            Ls.append(Lc), dxs.append(dxc), dys.append(dyc)
-            nrays = nrays + nr
-        L = jnp.concatenate(Ls, 0)[:n]
-        dx = jnp.concatenate(dxs, 0)[:n]
-        dy = jnp.concatenate(dys, 0)[:n]
-        return splat_j(film, L, dx, dy, flags, nrays)
+        s_idx = film["nsamples"].reshape(-1).astype(jnp.uint32)
+        L, dx, dy, nrays = shade_lanes(arrays, s_idx, px, py,
+                                       pixel_hash, flags.reshape(-1))
+        return splat(film, L, dx, dy, flags, nrays)
 
-    return sample_step
+    return jax.jit(sample_step, donate_argnums=(1,))
 
 
 def render_photonmap(cscene, cfg: RenderConfig, progress_cb=None,
@@ -505,8 +475,8 @@ def render_photonmap(cscene, cfg: RenderConfig, progress_cb=None,
         arrays["pm_caustic"] = caustic_pack
     if radiance_pack is not None:
         arrays["pm_radiance"] = radiance_pack
-    # make_photon_sample_step returns an already-jitted step (possibly a
-    # host-level band loop — see LANE_CHUNK; one sharded call under mesh)
+    # make_photon_sample_step returns an already-jitted step (one
+    # sharded call under mesh)
     step_j = make_photon_sample_step(cscene, cfg, grids, mesh=mesh)
 
     film = film_init(cfg.height, cfg.width)

@@ -213,22 +213,10 @@ def render_sppm(cscene, cfg: RenderConfig, progress_cb=None, mesh=None,
                                jnp.uint32(0))))
     else:
         shoot = jax.jit(shoot_fn)
-    update_1 = jax.jit(flux_update, static_argnames=("alpha",))
-    from .photonmap import LANE_CHUNK
-
-    if n <= LANE_CHUNK or mesh is not None:
-        update_j = update_1
-    else:
-        # bound the (BQ-blocked) flux-transfer working set — run in
-        # bands; each band is an independent per-pixel update
-        def update_j(hp, pack, r2, n_acc, tau, alpha):
-            outs = []
-            for c0 in range(0, n, LANE_CHUNK):
-                sl = slice(c0, min(c0 + LANE_CHUNK, n))
-                hp_c = {kk: v[sl] for kk, v in hp.items()}
-                outs.append(update_1(hp_c, pack, r2[sl], n_acc[sl],
-                                     tau[sl], alpha=alpha))
-            return tuple(jnp.concatenate(xs, 0) for xs in zip(*outs))
+    # all lanes in one jitted update: the r2-era 16K-lane band loop
+    # worked around a TPU-worker fault in the photon-grid gathers that
+    # the r3 repro (scripts/repro_photon_fault.py) shows is gone
+    update_j = jax.jit(flux_update, static_argnames=("alpha",))
 
     film = film_init(h, w)
     film["rays"] = jnp.zeros((), jnp.float32)

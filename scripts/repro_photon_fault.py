@@ -93,8 +93,11 @@ def main():
         from libyafaray_tpu.scene.session import build_config
         from libyafaray_tpu.integrators.config import RenderConfig
 
-        old = pm.LANE_CHUNK
-        pm.LANE_CHUNK = 1 << 30  # bypass the band workaround
+        # r3: the band workaround (pm.LANE_CHUNK) is gone — the step
+        # always shades all lanes in one jitted call now
+        old = getattr(pm, "LANE_CHUNK", None)
+        if old is not None:
+            pm.LANE_CHUNK = 1 << 30  # bypass the band workaround
         try:
             scene = parse_xml_file(os.path.join(
                 os.path.dirname(os.path.dirname(
@@ -112,7 +115,8 @@ def main():
             print(f"  ok mean={float(np.asarray(res.image).mean()):.4f} "
                   f"render={res.stats['render_s']:.1f}s", flush=True)
         finally:
-            pm.LANE_CHUNK = old
+            if old is not None:
+                pm.LANE_CHUNK = old
     print("ALL STAGES PASSED", flush=True)
     return 0
 
