@@ -49,11 +49,15 @@ BQ = 512      # rays per block (512 amortizes grid-step overhead ~1.6x
 BT = 512      # vs 256; measured on v5e)  # triangles per cluster/block
 INTERPRET = False  # tests flip this to run kernels on CPU
 NEG_EPS = 1e-12
-MAX_TRIS = 131072  # dense-path budget (scene compile picks BVH above
-# this).  r3: raised from 64K after the streaming cluster kernels at
-# BT=1024 measured 222 ms / 262K incoherent rays at 100K tris vs the
-# gather-walk BVH's ~900-1500 ms; the pack (16 rows x T) is staged into
-# VMEM by Mosaic, which bounds T at ~128K (8.4 MB of the 16 MB budget).
+MAX_TRIS = 1 << 20  # streaming-path budget (scene compile picks BVH
+# above this; on CPU it switches at CPU_DENSE_MAX).  r3: the streaming
+# kernels keep the (16, T) pack in HBM and DMA one (16, BT) tile at a
+# time, so T is not VMEM-bound; the gather-walk BVH fallback measured
+# ~900-1500 ms / 262K rays at 100K tris AND its long lockstep
+# while_loop can trip the TPU-worker watchdog at wavefront lane counts,
+# so the streaming path carries scenes up to 1M tris.
+CPU_DENSE_MAX = 131072  # on CPU the pallas kernels run interpreted;
+# above this the threaded-BVH gather walk wins there
 _BIG_I32 = 2 ** 30  # python int: jnp scalars become captured consts
 
 
@@ -106,14 +110,19 @@ def _pick_bt(t: int) -> int:
     # per-visit fixed costs; culling quality is corridor-bound anyway)
 
 
-def _pick_bq() -> int:
+def _pick_bq(bt: int = 0) -> int:
     """Rays per block.  Smaller blocks = tighter ray corridors = fewer
     clusters visited per block (the dominant cost at scene scale), at
-    the price of more grid steps.  LIBYAF_BQ env overrides."""
+    the price of more grid steps.  r3 sweep at 114-131K tris: BQ=128
+    beats 512 on incoherent rays (soup 232->180 ms) and ties coherent,
+    while small scenes keep BQ=512 (grid-step overhead dominates their
+    trivial tiles).  LIBYAF_BQ env overrides."""
     import os
 
     ov = os.environ.get("LIBYAF_BQ")
-    return int(ov) if ov else BQ
+    if ov:
+        return int(ov)
+    return 128 if bt >= 1024 else BQ
 
 
 def _slab_mode() -> bool:
@@ -296,15 +305,17 @@ def _slab_any(cl_ref, j, org_ref, inv_ref, tmin, tmax):
 
 
 def _closest_kernel(tri_ref, cl_ref, org_ref, dir_ref, inv_ref, tlim_ref,
-                    t_out, tri_out, u_out, v_out):
+                    t_out, tri_out):
+    """Grid (blocks x clusters) kernel for small cluster counts.  Same
+    (best-t, best PACK COLUMN) contract as the streaming kernel — the
+    wrapper recomputes u/v/orig-id from the column."""
     j = pl.program_id(1)
+    bt = tri_ref.shape[1]
 
     @pl.when(j == 0)
     def _():
         t_out[:] = jnp.full_like(t_out, jnp.inf)
         tri_out[:] = jnp.zeros_like(tri_out)
-        u_out[:] = jnp.zeros_like(u_out)
-        v_out[:] = jnp.zeros_like(v_out)
 
     tmin, tmax = tlim_ref[:, 0:1], tlim_ref[:, 1:2]
     # cluster cull: skip the tile unless some ray can still hit this box
@@ -318,20 +329,15 @@ def _closest_kernel(tri_ref, cl_ref, org_ref, dir_ref, inv_ref, tlim_ref,
         ok = ok & (t > tmin) & (t < tmax)
         t_ok = jnp.where(ok, t, jnp.inf)
         tile_min = jnp.min(t_ok, axis=1, keepdims=True)        # (BQ, 1)
-        # first triangle index achieving the tile minimum (det. ties)
+        # first column achieving the tile minimum (deterministic ties);
+        # no-hit rows give a bogus k_min but `better` is False there
         kcol = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-        kcand = jnp.where(ok & (t_ok <= tile_min), kcol, _BIG_I32)
+        kcand = jnp.where(t_ok <= tile_min, kcol, _BIG_I32)
         k_min = jnp.min(kcand, axis=1, keepdims=True)          # (BQ, 1)
-        onehot = (kcand == k_min).astype(jnp.float32)
-        u_sel = jnp.sum(u * onehot, axis=1, keepdims=True)
-        v_sel = jnp.sum(v * onehot, axis=1, keepdims=True)
-        orig = jnp.sum(tri_ref[9:10, :] * onehot, axis=1, keepdims=True)
 
         better = tile_min < t_out[:]
         t_out[:] = jnp.where(better, tile_min, t_out[:])
-        tri_out[:] = jnp.where(better, orig.astype(jnp.int32), tri_out[:])
-        u_out[:] = jnp.where(better, u_sel, u_out[:])
-        v_out[:] = jnp.where(better, v_sel, v_out[:])
+        tri_out[:] = jnp.where(better, j * bt + k_min, tri_out[:])
 
 
 def _shadow_kernel(tri_ref, cl_ref, logf_ref, org_ref, dir_ref, inv_ref,
@@ -383,7 +389,44 @@ SORT_MIN_CLUSTERS = 16  # sort rays only when culling has enough to skip
 FB_MIN_CLUSTERS = 4     # front-to-back cluster lists pay off above this
 
 
-def _block_cluster_order(org, dirn, tmin, tmax, cluster8, bq: int):
+SUB_BT = 128  # sub-cluster width for fine culling
+
+
+def _submask_mode() -> bool:
+    """Whether the streaming kernels BRANCH per SUB_BT sub-tile on the
+    prelude's live-sub mask.  Measured a net LOSS on v5e (8 predicated
+    regions per cluster defeat Mosaic's pipelining; the saved MT work is
+    smaller than the stalls), so default OFF — the sub-granularity
+    prelude still tightens the cluster lists (a cluster is listed only
+    if one of its SUB-boxes is hit), which is free.  LIBYAF_SUBMASK=1
+    re-enables in-kernel masking for experiments."""
+    import os
+
+    return os.environ.get("LIBYAF_SUBMASK", "0") == "1"
+
+
+def _sub_aabbs(tri_pack10, n_tris: int, bts: int = SUB_BT):
+    """(8, T//bts) fine AABB table derived from the pack ON DEVICE (one
+    tiny fused reduction, traced once per jit).  Padded / out-of-range
+    columns get never-hit (inverted) boxes via the static n_tris."""
+    t = tri_pack10.shape[1]
+    v0 = tri_pack10[0:3]
+    p1 = v0 + tri_pack10[3:6]
+    p2 = v0 + tri_pack10[6:9]
+    lo = jnp.minimum(jnp.minimum(v0, p1), p2)
+    hi = jnp.maximum(jnp.maximum(v0, p1), p2)
+    real = (jnp.arange(t) < n_tris)[None, :]
+    lo = jnp.where(real, lo, jnp.inf)
+    hi = jnp.where(real, hi, -jnp.inf)
+    c = t // bts
+    lo = jnp.min(lo.reshape(3, c, bts), axis=2)
+    hi = jnp.max(hi.reshape(3, c, bts), axis=2)
+    return jnp.concatenate([lo, hi, jnp.zeros((2, c), jnp.float32)],
+                           axis=0)
+
+
+def _block_cluster_order(org, dirn, tmin, tmax, cluster8, bq: int,
+                         sub8=None, n_sub: int = 1):
     """Per-ray-block FRONT-TO-BACK active-cluster lists (plain JAX
     prelude to the _fb kernels; the r2 design doc's scalar-prefetch
     index-map plan, VERDICT r2 next-step #1).
@@ -397,8 +440,15 @@ def _block_cluster_order(org, dirn, tmin, tmax, cluster8, bq: int):
     repeat the last active cluster id so the pipelined tri-tile DMA
     sees an unchanged block index (no refetch) on the dead tail.
 
+    r3 fine culling: with `sub8` ((8, C*n_sub) AABBs at SUB_BT
+    granularity) the slab sweep runs at SUB-cluster resolution; each
+    entry then carries `cluster_id | (live-sub bitmask << 16)` so the
+    kernel skips dead SUB_BT-column tiles inside a listed cluster —
+    and a cluster is listed at all only if one of its SUBS is hit
+    (tighter than the coarse AABB test).
+
     org/dirn/tmin/tmax are already ray-sorted and padded to a BQ
-    multiple.  Returns (order (B, C) i32, count (B,) i32).
+    multiple.  Returns (entries (B, C) i32, count (B,) i32).
     """
     n_cl = cluster8.shape[1]
     b = org.shape[0] // bq
@@ -406,11 +456,13 @@ def _block_cluster_order(org, dirn, tmin, tmax, cluster8, bq: int):
     iv = _inv_dir(dirn).reshape(b, bq, 3)
     tmin_b = tmin.reshape(b, bq)
     tmax_b = tmax.reshape(b, bq)
-    lo = cluster8[0:3].T  # (C,3)
-    hi = cluster8[3:6].T
+    table = sub8 if n_sub > 1 else cluster8
+    n_sc = table.shape[1]  # n_cl * n_sub
+    lo = table[0:3].T  # (C*n_sub, 3)
+    hi = table[3:6].T
     keys = []
-    ch = 8  # cluster chunk bounds the (B, bq, ch, 3) intermediate
-    for c0 in range(0, n_cl, ch):
+    ch = 8 if n_sub == 1 else 16  # chunk bounds the (B,bq,ch,3) temp
+    for c0 in range(0, n_sc, ch):
         loc = lo[c0:c0 + ch]
         hic = hi[c0:c0 + ch]
         t0 = (loc[None, None] - o[:, :, None]) * iv[:, :, None]
@@ -421,14 +473,25 @@ def _block_cluster_order(org, dirn, tmin, tmax, cluster8, bq: int):
                             tmax_b[..., None])
         hit = enter <= exit_
         keys.append(jnp.min(jnp.where(hit, enter, jnp.inf), axis=1))
-    key = jnp.concatenate(keys, axis=1)  # (B, C)
+    key_sub = jnp.concatenate(keys, axis=1)  # (B, n_sc)
+    if n_sub > 1:
+        ks = key_sub.reshape(b, n_cl, n_sub)
+        key = jnp.min(ks, axis=2)
+        bits = (1 << jnp.arange(n_sub, dtype=jnp.int32))[None, None]
+        mask = jnp.sum(jnp.where(jnp.isfinite(ks), bits, 0),
+                       axis=2).astype(jnp.int32)
+    else:
+        key = key_sub
+        mask = jnp.ones((b, n_cl), jnp.int32)
     order = jnp.argsort(key, axis=1).astype(jnp.int32)
     count = jnp.sum(jnp.isfinite(key), axis=1).astype(jnp.int32)
+    entries = order | (jnp.take_along_axis(mask, order, axis=1) << 16)
     jidx = jax.lax.broadcasted_iota(jnp.int32, (b, n_cl), 1)
-    last = jnp.take_along_axis(order, jnp.maximum(count - 1, 0)[:, None],
-                               axis=1)
-    order = jnp.where(jidx < jnp.maximum(count, 1)[:, None], order, last)
-    return order, count
+    last = jnp.take_along_axis(entries,
+                               jnp.maximum(count - 1, 0)[:, None], axis=1)
+    entries = jnp.where(jidx < jnp.maximum(count, 1)[:, None], entries,
+                        last)
+    return entries, count
 
 
 def _order_groups(order):
@@ -480,8 +543,8 @@ def _stream_pipeline(cnt, get_dma, process):
 
 def _closest_kernel_stream(order_hbm, count_ref, tri_hbm, cl_ref, org_ref,
                            dir_ref, inv_ref, tlim_ref,
-                           t_out, tri_out, u_out, v_out, tri_buf, ord_smem,
-                           sems, osem, *, do_slab=True):
+                           t_out, tri_out, tri_buf, ord_smem,
+                           sems, osem, *, do_slab=True, n_sub=1):
     """Streaming front-to-back kernel: ONE grid step per ray block; the
     block's active-cluster list (its row of order_hbm, DMA'd into SMEM
     scratch — whole-array SMEM operands hit the 1 MB cap at fine
@@ -508,21 +571,28 @@ def _closest_kernel_stream(order_hbm, count_ref, tri_hbm, cl_ref, org_ref,
 
     t_out[:] = jnp.full_like(t_out, jnp.inf)
     tri_out[:] = jnp.zeros_like(tri_out)
-    u_out[:] = jnp.zeros_like(u_out)
-    v_out[:] = jnp.zeros_like(v_out)
     tmin, tmax = tlim_ref[:, 0:1], tlim_ref[:, 1:2]
 
+    sbt = bt // n_sub
+
     def get_dma(slot, j):
-        c = ord_smem[sub, j]
+        c = jnp.bitwise_and(ord_smem[sub, j], 0xFFFF)
         return pltpu.make_async_copy(
             tri_hbm.at[:, pl.ds(c * bt, bt)], tri_buf.at[slot],
             sems.at[slot])
 
     def process(slot, j):
-        c = ord_smem[sub, j]
+        cm = ord_smem[sub, j]
+        c = jnp.bitwise_and(cm, 0xFFFF)
 
-        def mt_tile():
-            tri_ref = tri_buf[slot]
+        def mt_sub(s):
+            # one SUB_BT-column MT tile (static column slice of the
+            # landed VMEM tile).  The tile keeps only (best-t, best
+            # PACK COLUMN) per ray — u/v/orig-id selection moved out of
+            # the kernel (one gather + 40-flop recompute in the
+            # wrapper), which shrinks the per-tile epilogue to two
+            # lane-reductions and makes fine tiles profitable.
+            tri_ref = tri_buf[slot, :, s * sbt:(s + 1) * sbt]
             if MXU_MT:
                 ctr = tuple(0.5 * (cl_ref[a, c] + cl_ref[a + 3, c])
                             for a in range(3))
@@ -533,20 +603,26 @@ def _closest_kernel_stream(order_hbm, count_ref, tri_hbm, cl_ref, org_ref,
             t_ok = jnp.where(ok, t, jnp.inf)
             tile_min = jnp.min(t_ok, axis=1, keepdims=True)
             kcol = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-            kcand = jnp.where(ok & (t_ok <= tile_min), kcol, _BIG_I32)
+            # no-hit rows: tile_min=inf makes every kcand live, but
+            # `better` below is then False, so the bogus k_min is inert
+            kcand = jnp.where(t_ok <= tile_min, kcol, _BIG_I32)
             k_min = jnp.min(kcand, axis=1, keepdims=True)
-            onehot = (kcand == k_min).astype(jnp.float32)
-            u_sel = jnp.sum(u * onehot, axis=1, keepdims=True)
-            v_sel = jnp.sum(v * onehot, axis=1, keepdims=True)
-            orig = jnp.sum(tri_ref[9:10, :] * onehot, axis=1,
-                           keepdims=True)
 
             better = tile_min < t_out[:]
             t_out[:] = jnp.where(better, tile_min, t_out[:])
-            tri_out[:] = jnp.where(better, orig.astype(jnp.int32),
+            tri_out[:] = jnp.where(better, c * bt + s * sbt + k_min,
                                    tri_out[:])
-            u_out[:] = jnp.where(better, u_sel, u_out[:])
-            v_out[:] = jnp.where(better, v_sel, v_out[:])
+
+        def mt_tile():
+            if n_sub == 1:
+                mt_sub(0)
+            else:
+                # fine culling: the entry's high bits say which SUB_BT
+                # sub-tiles any ray's corridor touches (prelude mask)
+                for s in range(n_sub):
+                    # ids use bits 0:16 only, so arithmetic >> is exact
+                    bit = jnp.bitwise_and(jnp.right_shift(cm, 16 + s), 1)
+                    pl.when(bit > 0)(functools.partial(mt_sub, s))
 
         if do_slab:
             # front-to-back early termination: once every ray's best hit
@@ -562,7 +638,7 @@ def _closest_kernel_stream(order_hbm, count_ref, tri_hbm, cl_ref, org_ref,
 
 def _shadow_kernel_stream(order_hbm, count_ref, tri_hbm, cl_ref, org_ref,
                           dir_ref, inv_ref, dist_ref, lg_out, tri_buf,
-                          ord_smem, sems, osem, *, do_slab=True):
+                          ord_smem, sems, osem, *, do_slab=True, n_sub=1):
     """Streaming shadow kernel over a (16, T) pack (tri rows 0:10 +
     rgb log-filter rows 10:13 + pad), same structure as
     _closest_kernel_stream."""
@@ -582,17 +658,20 @@ def _shadow_kernel_stream(order_hbm, count_ref, tri_hbm, cl_ref, org_ref,
     tmin = 5e-4
     tmax = dist * (1.0 - 1e-4) - 5e-4
 
+    sbt = bt // n_sub
+
     def get_dma(slot, j):
-        c = ord_smem[sub, j]
+        c = jnp.bitwise_and(ord_smem[sub, j], 0xFFFF)
         return pltpu.make_async_copy(
             tri_hbm.at[:, pl.ds(c * bt, bt)], tri_buf.at[slot],
             sems.at[slot])
 
     def process(slot, j):
-        c = ord_smem[sub, j]
+        cm = ord_smem[sub, j]
+        c = jnp.bitwise_and(cm, 0xFFFF)
 
-        def mt_tile():
-            tri_ref = tri_buf[slot]
+        def mt_sub(s):
+            tri_ref = tri_buf[slot, :, s * sbt:(s + 1) * sbt]
             if MXU_MT:
                 ctr = tuple(0.5 * (cl_ref[a, c] + cl_ref[a + 3, c])
                             for a in range(3))
@@ -608,6 +687,14 @@ def _shadow_kernel_stream(order_hbm, count_ref, tri_hbm, cl_ref, org_ref,
                               keepdims=True)
                 cols.append(jnp.maximum(lg[:, ci:ci + 1] + acc, -80.0))
             lg_out[:] = jnp.concatenate(cols, axis=1)
+
+        def mt_tile():
+            if n_sub == 1:
+                mt_sub(0)
+            else:
+                for s in range(n_sub):
+                    bit = jnp.bitwise_and(jnp.right_shift(cm, 16 + s), 1)
+                    pl.when(bit > 0)(functools.partial(mt_sub, s))
 
         if do_slab:
             any_hit = _slab_any(cl_ref, c, org_ref, inv_ref,
@@ -676,19 +763,26 @@ def closest_hit_pallas(tri_pack10, cluster8, org, dirn, tmin, tmax,
             [org, dirn, tmin[:, None], tmax[:, None]], axis=1)[perm]
         org, dirn = ray_pack[:, 0:3], ray_pack[:, 3:6]
         tmin, tmax = ray_pack[:, 6], ray_pack[:, 7]
-    bq = _pick_bq()
+    bq = _pick_bq(bt)
     (org_p, dir_p, inv_p, tlim), n = _pad_rays(
         [org, dirn, _inv_dir(dirn), jnp.stack([tmin, tmax], axis=1)], bq)
     grid = (org_p.shape[0] // bq, n_cl)
     out_shape = [
         jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.float32),
         jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.int32),
-        jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.float32),
-        jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.float32),
     ]
     if use_fb:
+        # sub-granularity listing only while the prelude's
+        # (B, bq, C_sub) slab sweep stays cheap; huge scenes fall
+        # back to coarse cluster keys
+        n_sub = (bt // SUB_BT
+                 if bt > SUB_BT
+                 and tri_pack10.shape[1] // SUB_BT <= 2048 else 1)
+        sub8 = (_sub_aabbs(tri_pack10, n_tris) if n_sub > 1 else None)
         order, count = _block_cluster_order(
-            org_p, dir_p, tlim[:, 0], tlim[:, 1], cluster8, bq)
+            org_p, dir_p, tlim[:, 0], tlim[:, 1], cluster8, bq,
+            sub8=sub8, n_sub=n_sub)
+        k_sub = n_sub if _submask_mode() else 1
         order, c128 = _order_groups(order)
         # DMA-sliceable VMEM tiles need sublane counts aligned to 8:
         # pad the 10-row pack to 16 rows (rows 10:16 unused)
@@ -701,9 +795,9 @@ def closest_hit_pallas(tri_pack10, cluster8, org, dirn, tmin, tmax,
         qspec_fb = lambda c: pl.BlockSpec(
             (bq, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-        t, tri, u, v = pl.pallas_call(
+        t, col = pl.pallas_call(
             functools.partial(_closest_kernel_stream,
-                              do_slab=_slab_mode()),
+                              do_slab=_slab_mode(), n_sub=k_sub),
             grid=(grid[0],),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.HBM),  # order in HBM
@@ -712,7 +806,7 @@ def closest_hit_pallas(tri_pack10, cluster8, org, dirn, tmin, tmax,
                 smem,
                 qspec_fb(3), qspec_fb(3), qspec_fb(3), qspec_fb(2),
             ],
-            out_specs=[qspec_fb(1)] * 4,
+            out_specs=[qspec_fb(1)] * 2,
             scratch_shapes=[
                 pltpu.VMEM((2, 16, bt), jnp.float32),
                 pltpu.SMEM((8, c128), jnp.int32),
@@ -725,7 +819,7 @@ def closest_hit_pallas(tri_pack10, cluster8, org, dirn, tmin, tmax,
     else:
         qspec = lambda c: pl.BlockSpec((bq, c), lambda i, j: (i, 0),
                                        memory_space=pltpu.VMEM)
-        t, tri, u, v = pl.pallas_call(
+        t, col = pl.pallas_call(
             _closest_kernel,
             grid=grid,
             in_specs=[
@@ -734,23 +828,40 @@ def closest_hit_pallas(tri_pack10, cluster8, org, dirn, tmin, tmax,
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # cluster table
                 qspec(3), qspec(3), qspec(3), qspec(2),
             ],
-            out_specs=[qspec(1)] * 4,
+            out_specs=[qspec(1)] * 2,
             out_shape=out_shape,
             interpret=INTERPRET,
         )(tri_pack10, cluster8, org_p, dir_p, inv_p, tlim)
+    # the kernels return (best-t, best PACK COLUMN); u/v/orig-id are
+    # recomputed here from one 10-row gather + the same 40-flop MT (the
+    # select epilogue in-kernel cost more than the whole MT at fine
+    # tile widths).  hit lanes recompute to the kernel's t (identical
+    # math/precision); misses carry col 0 and are masked by isfinite.
+    hit = jnp.isfinite(t[:n, 0])
+    c10 = jnp.take(tri_pack10, col[:n, 0], axis=1)  # (10, n)
+    v0c = c10[0:3].T
+    e1c = c10[3:6].T
+    e2c = c10[6:9].T
+    pv = jnp.cross(dirn, e2c)
+    det = jnp.sum(pv * e1c, axis=-1)
+    invd = 1.0 / jnp.where(jnp.abs(det) < NEG_EPS, 1.0, det)
+    tv = org - v0c
+    u = jnp.sum(tv * pv, axis=-1) * invd
+    qv = jnp.cross(tv, e1c)
+    v = jnp.sum(dirn * qv, axis=-1) * invd
+    t_re = jnp.sum(e2c * qv, axis=-1) * invd
+    t = jnp.where(hit, t_re, jnp.inf)
+    tri = jnp.minimum(c10[9].astype(jnp.int32), n_tris - 1)
     if sort:
         # one packed un-permute gather; tri ids ride as f32 VALUES (exact
         # below 2^24 — a bitcast would produce denormals, which the TPU
         # flushes to zero)
-        out_pack = jnp.concatenate(
-            [t[:n], u[:n], v[:n], tri[:n].astype(jnp.float32)],
-            axis=1)[unperm]
+        out_pack = jnp.stack(
+            [t, u, v, tri.astype(jnp.float32)], axis=1)[unperm]
         t, u, v = out_pack[:, 0], out_pack[:, 1], out_pack[:, 2]
         tri = out_pack[:, 3].astype(jnp.int32)
-        return (t, jnp.minimum(tri, n_tris - 1), u, v, jnp.isfinite(t))
-    t = t[:n, 0]
-    return (t, jnp.minimum(tri[:n, 0], n_tris - 1), u[:n, 0], v[:n, 0],
-            jnp.isfinite(t))
+        return (t, tri, u, v, jnp.isfinite(t))
+    return (t, tri, u, v, hit)
 
 
 @functools.partial(jax.jit, static_argnames=("n_tris", "presorted"))
@@ -772,7 +883,7 @@ def shadow_transmission_pallas(tri_pack10, cluster8, filt4, org, dirn,
                                    axis=1)[perm]
         org, dirn, dist = (ray_pack[:, 0:3], ray_pack[:, 3:6],
                            ray_pack[:, 6])
-    bq = _pick_bq()
+    bq = _pick_bq(bt)
     (org_p, dir_p, inv_p, dist_p), n = _pad_rays(
         [org, dirn, _inv_dir(dirn), dist[:, None]], bq)
     pad = tri_pack10.shape[1] - filt4.shape[1]
@@ -785,9 +896,18 @@ def shadow_transmission_pallas(tri_pack10, cluster8, filt4, org, dirn,
     out_shape = jax.ShapeDtypeStruct((org_p.shape[0], 3), jnp.float32)
     if use_fb:
         d = dist_p[:, 0]
+        # sub-granularity listing only while the prelude's
+        # (B, bq, C_sub) slab sweep stays cheap; huge scenes fall
+        # back to coarse cluster keys
+        n_sub = (bt // SUB_BT
+                 if bt > SUB_BT
+                 and tri_pack10.shape[1] // SUB_BT <= 2048 else 1)
+        sub8 = (_sub_aabbs(tri_pack10, n_tris) if n_sub > 1 else None)
         order, count = _block_cluster_order(
             org_p, dir_p, jnp.full_like(d, 5e-4),
-            d * (1.0 - 1e-4) - 5e-4, cluster8, bq)
+            d * (1.0 - 1e-4) - 5e-4, cluster8, bq,
+            sub8=sub8, n_sub=n_sub)
+        k_sub = n_sub if _submask_mode() else 1
         order, c128 = _order_groups(order)
         # (16, T) streamed pack: tri rows 0:10 + rgb log-filter rows
         # 10:13 + padding to the 8-sublane DMA alignment
@@ -799,7 +919,7 @@ def shadow_transmission_pallas(tri_pack10, cluster8, filt4, org, dirn,
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         lg = pl.pallas_call(
             functools.partial(_shadow_kernel_stream,
-                              do_slab=_slab_mode()),
+                              do_slab=_slab_mode(), n_sub=k_sub),
             grid=(grid[0],),
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),  # order HBM
                       smem,

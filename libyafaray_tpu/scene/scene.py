@@ -632,9 +632,14 @@ class Scene:
                 arrays[f"ies_{li}"] = np.asarray(r["_ies_profile"],
                                                  np.float32)
 
-        from ..ops.pallas_intersect import MAX_TRIS as _DENSE_MAX_TRIS
+        from ..ops.pallas_intersect import CPU_DENSE_MAX, \
+            MAX_TRIS as _DENSE_MAX_TRIS, _use_pallas
 
-        intersector = "brute" if n_real <= _DENSE_MAX_TRIS else "bvh"
+        # backend-aware budget: the TPU streaming kernels carry up to
+        # MAX_TRIS; on CPU (pallas interpreted / jnp brute) the threaded
+        # BVH walk takes over much earlier
+        _budget = _DENSE_MAX_TRIS if _use_pallas() else CPU_DENSE_MAX
+        intersector = "brute" if n_real <= _budget else "bvh"
         if intersector == "bvh":
             arrays["bvh"] = build_bvh(v0, e1, e2)
             arrays["sbvh"] = build_bvh(sv0, se1, se2)

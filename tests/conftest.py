@@ -23,6 +23,20 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's dominant cost on this box is
+# XLA CPU compiles of the big fused render steps (~2 min each), and many
+# tests re-trace IDENTICAL programs (fresh jit closures per render call).
+# The on-disk cache converts those to cache hits across tests AND across
+# suite runs.  LIBYAF_TEST_CACHE='' disables.
+_cache = os.environ.get(
+    "LIBYAF_TEST_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+if _cache:
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on the virtual CPU mesh, got: " + str(jax.devices())
 )
