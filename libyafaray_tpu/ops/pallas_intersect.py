@@ -717,23 +717,28 @@ def _spread_bits(x):
     return x
 
 
-def _ray_sort_perm(org, dirn):
+def _ray_sort_perm(org, dirn, dead=None):
     """Spatial ray ordering: direction octant (major) then Morton code of
-    the origin (10 bits/axis over the batch's own bounding box).  Blocks
-    of sorted rays share a direction cone + a tight origin box, so each
-    block's reachable corridor covers few clusters — what makes per-block
+    the origin (9 bits/axis over the batch's own bounding box — 27 bits,
+    leaving room for the 3 octant bits; the r2 10-bit layout silently
+    overflowed the z-sign bit out of uint32).  Blocks of sorted rays
+    share a direction cone + a tight origin box, so each block's
+    reachable corridor covers few clusters — what makes per-block
     cluster culling effective for incoherent bounce/photon rays.
-    Returns (perm, inv)."""
+    `dead` rays (already resolved by the pair path) sort to the tail so
+    their blocks carry empty cluster lists.  Returns (perm, inv)."""
     lo = jnp.min(org, axis=0)
     hi = jnp.max(org, axis=0)
-    q = ((org - lo) / jnp.maximum(hi - lo, 1e-12) * 1023.0)
-    q = jnp.clip(q, 0.0, 1023.0).astype(jnp.uint32)
+    q = ((org - lo) / jnp.maximum(hi - lo, 1e-12) * 511.0)
+    q = jnp.clip(q, 0.0, 511.0).astype(jnp.uint32)
     morton = (_spread_bits(q[:, 0]) | (_spread_bits(q[:, 1]) << 1)
               | (_spread_bits(q[:, 2]) << 2))
     octant = ((dirn[:, 0] < 0).astype(jnp.uint32)
               | ((dirn[:, 1] < 0).astype(jnp.uint32) << 1)
               | ((dirn[:, 2] < 0).astype(jnp.uint32) << 2))
-    key = (octant << jnp.uint32(30)) | morton
+    key = (octant << jnp.uint32(27)) | morton
+    if dead is not None:
+        key = key | (dead.astype(jnp.uint32) << jnp.uint32(30))
     perm = jnp.argsort(key)
     # scatter-based inverse: TPU argsort is a multi-pass bitonic sort
     # (~10 ms at 262K keys) — one is enough
@@ -741,6 +746,388 @@ def _ray_sort_perm(org, dirn):
     inv = jnp.zeros((n,), jnp.int32).at[perm].set(
         jnp.arange(n, dtype=jnp.int32))
     return perm, inv
+
+
+# ---------------------------------------------------------------------------
+# Pair-granular path (r3): per-RAY front-to-back cluster lists expanded
+# into (ray, cluster) PAIR slots, grouped cluster-major, and swept by a
+# streaming kernel whose MT work is proportional to the SUM of per-ray
+# list lengths — not to the per-block UNION of lists, which measured
+# 3.7x larger on 131K-tri incoherent batches (scripts/sim_listlen.py)
+# and is the r3 block-sweep plateau documented in BENCH_ALL.md.  Early
+# termination survives as ROUNDS: round 1 tests each ray's K1 nearest
+# clusters; round 2 tests the remaining clusters whose slab entry is
+# closer than the round-1 hit (K2 cap); a final block-sweep pass with
+# per-ray-tightened tmax (resolved rays killed, stragglers sorted into
+# dense blocks) guarantees exactness whatever the caps.  Role:
+# src/yafraycore/kdtree.cc [H] per-ray traversal order + early
+# termination (SURVEY §2.3), recast as static-shape wavefront rounds.
+
+PAIR_K1 = 4    # round-1 nearest clusters per ray
+PAIR_K2 = 16   # round-2 cap (leftovers -> exact fallback pass)
+PAIR_KB = 16   # pair-blocks (128 slots each) streamed per grid step
+PAIRS_MIN_CLUSTERS = 64  # below this, block unions are already tight
+
+
+def _pairs_mode() -> bool:
+    import os
+
+    return os.environ.get("LIBYAF_PAIRS", "1") == "1"
+
+
+def _ray_cluster_entries(org, dirn, tmin, tmax, cluster8, sub8=None,
+                         n_sub: int = 1):
+    """Per-RAY slab entry distance to each cluster: (N, C) f32, inf when
+    the ray's [tmin, tmax] corridor misses the cluster AABB.  With sub8,
+    a cluster's entry is the min over its SUB_BT sub-boxes (tighter: the
+    corridor must hit an occupied sub-box, not just the coarse hull).
+    Chunked over (sub-)clusters so temporaries stay (N, 16, 3)."""
+    iv = _inv_dir(dirn)
+    table = sub8 if n_sub > 1 else cluster8
+    n_sc = table.shape[1]
+    lo = table[0:3].T
+    hi = table[3:6].T
+    outs = []
+    ch = 16
+    for c0 in range(0, n_sc, ch):
+        loc = lo[c0:c0 + ch]
+        hic = hi[c0:c0 + ch]
+        t0 = (loc[None] - org[:, None]) * iv[:, None]
+        t1 = (hic[None] - org[:, None]) * iv[:, None]
+        enter = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1),
+                            tmin[:, None])
+        exit_ = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=-1),
+                            tmax[:, None])
+        e = jnp.where(enter <= exit_, enter, jnp.inf)
+        if n_sub > 1:
+            e = jnp.min(e.reshape(org.shape[0], -1, n_sub), axis=2)
+        outs.append(e)
+    return jnp.concatenate(outs, axis=1)
+
+
+def _pair_tables(scl, n_cl: int, kb: int):
+    """Visit tables for the pair kernels from cluster-sorted slot ids.
+
+    scl: (P,) i32 ascending cluster ids (n_cl = invalid/padding).  A
+    VISIT is one (128-slot pair-block, distinct cluster) run; since the
+    ids are globally sorted, runs split only at block edges or id
+    changes, so total visits <= P/128 + n_cl — the static table bound.
+    Returns (vis_cl, vis_blk, start, cnt): per-visit cluster id and
+    sub-block index within its grid step, and each step's [start,
+    start+cnt) visit range."""
+    p = scl.shape[0]
+    nb = p // 128
+    n_steps = nb // kb
+    blk = jnp.arange(p, dtype=jnp.int32) // 128
+    prev_s = jnp.concatenate([jnp.full((1,), -1, jnp.int32), scl[:-1]])
+    prev_b = jnp.concatenate([jnp.full((1,), -1, jnp.int32), blk[:-1]])
+    first = ((scl != prev_s) | (blk != prev_b)) & (scl < n_cl)
+    vpos = jnp.cumsum(first.astype(jnp.int32)) - 1
+    v_cap = nb + n_cl
+    tgt = jnp.where(first, vpos, v_cap)
+    vis_cl = jnp.zeros((v_cap,), jnp.int32).at[tgt].set(scl, mode="drop")
+    vis_blk = jnp.zeros((v_cap,), jnp.int32).at[tgt].set(
+        blk % kb, mode="drop")
+    stepv = jnp.where(first, blk // kb, n_steps)
+    start = jnp.full((n_steps,), v_cap, jnp.int32).at[stepv].min(
+        vpos, mode="drop")
+    last = jnp.full((n_steps,), -1, jnp.int32).at[stepv].max(
+        vpos, mode="drop")
+    has = last >= 0
+    cnt = jnp.where(has, last - start + 1, 0)
+    start = jnp.where(has, start, 0)
+    return vis_cl, vis_blk, start, cnt
+
+
+def _pairs_closest_kernel(viscl_ref, visblk_ref, start_ref, cnt_ref,
+                          tri_hbm, ray_ref, slotcl_ref,
+                          t_out, col_out, tri_buf, sems):
+    """Pair sweep: one grid step covers PAIR_KB 128-slot pair-blocks;
+    each visit DMAs its cluster's (16, BT) tile (double-buffered) and
+    MTs it against the visit's 128 ray rows, masked to slots whose
+    cluster matches (blocks straddling a cluster boundary get one visit
+    per distinct cluster).  Slot cluster ids ride as f32 VALUES."""
+    s = pl.program_id(0)
+    base = start_ref[s]
+    cnt = cnt_ref[s]
+    bt = tri_buf.shape[-1]
+    t_out[:] = jnp.full_like(t_out, jnp.inf)
+    col_out[:] = jnp.zeros_like(col_out)
+
+    def get_dma(slot, j):
+        c = viscl_ref[base + j]
+        return pltpu.make_async_copy(
+            tri_hbm.at[:, pl.ds(c * bt, bt)], tri_buf.at[slot],
+            sems.at[slot])
+
+    def process(slot, j):
+        c = viscl_ref[base + j]
+        r0 = visblk_ref[base + j] * 128
+        rows = pl.ds(r0, 128)
+        org = ray_ref[rows, 0:3]
+        dirn = ray_ref[rows, 3:6]
+        tmin = ray_ref[rows, 6:7]
+        tmax = ray_ref[rows, 7:8]
+        t, _, _, ok = _mt_tile(tri_buf[slot], org, dirn)
+        rowm = slotcl_ref[rows, :] == c.astype(jnp.float32)
+        ok = ok & rowm & (t > tmin) & (t < tmax)
+        t_ok = jnp.where(ok, t, jnp.inf)
+        tile_min = jnp.min(t_ok, axis=1, keepdims=True)
+        kcol = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        kcand = jnp.where(t_ok <= tile_min, kcol, _BIG_I32)
+        k_min = jnp.min(kcand, axis=1, keepdims=True)
+        cur = t_out[rows, :]
+        better = tile_min < cur
+        t_out[rows, :] = jnp.where(better, tile_min, cur)
+        cc = col_out[rows, :]
+        col_out[rows, :] = jnp.where(better, c * bt + k_min, cc)
+
+    _stream_pipeline(cnt, get_dma, process)
+
+
+def _pairs_shadow_kernel(viscl_ref, visblk_ref, start_ref, cnt_ref,
+                         tri_hbm, ray_ref, slotcl_ref,
+                         lg_out, tri_buf, sems):
+    """Pair variant of the shadow kernel: accumulates LOG transmission
+    per pair slot from its own cluster's tile (rows 10:13 of the
+    streamed pack are the rgb log-filter rows)."""
+    s = pl.program_id(0)
+    base = start_ref[s]
+    cnt = cnt_ref[s]
+    bt = tri_buf.shape[-1]
+    lg_out[:] = jnp.zeros_like(lg_out)
+
+    def get_dma(slot, j):
+        c = viscl_ref[base + j]
+        return pltpu.make_async_copy(
+            tri_hbm.at[:, pl.ds(c * bt, bt)], tri_buf.at[slot],
+            sems.at[slot])
+
+    def process(slot, j):
+        c = viscl_ref[base + j]
+        r0 = visblk_ref[base + j] * 128
+        rows = pl.ds(r0, 128)
+        org = ray_ref[rows, 0:3]
+        dirn = ray_ref[rows, 3:6]
+        tmin = ray_ref[rows, 6:7]
+        tmax = ray_ref[rows, 7:8]
+        t, _, _, ok = _mt_tile(tri_buf[slot], org, dirn)
+        rowm = slotcl_ref[rows, :] == c.astype(jnp.float32)
+        okf = (ok & rowm & (t > tmin) & (t < tmax)).astype(jnp.float32)
+        lg = lg_out[rows, :]
+        cols = []
+        for ch in range(3):
+            acc = jnp.sum(okf * tri_buf[slot, 10 + ch:11 + ch, :],
+                          axis=1, keepdims=True)
+            cols.append(lg[:, ch:ch + 1] + acc)
+        lg_out[rows, :] = jnp.concatenate(cols, axis=1)
+
+    _stream_pipeline(cnt, get_dma, process)
+
+
+def _pairs_sweep(kernel, pack16, ray8, slotcl, vis, bt: int, out_cols):
+    """Launch a pair kernel over cluster-sorted slots.  out_cols: list
+    of (ncols, dtype) output planes, each (P, ncols)."""
+    vis_cl, vis_blk, start, cnt = vis
+    p = ray8.shape[0]
+    kbq = 128 * PAIR_KB
+    qspec = lambda c: pl.BlockSpec((kbq, c), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(p // kbq,),
+        in_specs=[smem, smem, smem, smem,
+                  pl.BlockSpec(memory_space=pltpu.HBM),
+                  qspec(8), qspec(1)],
+        out_specs=[qspec(c) for c, _ in out_cols],
+        scratch_shapes=[pltpu.VMEM((2, 16, bt), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        out_shape=[jax.ShapeDtypeStruct((p, c), d) for c, d in out_cols],
+        interpret=INTERPRET,
+    )(vis_cl, vis_blk, start, cnt, pack16, ray8, slotcl)
+    return outs
+
+
+def _expand_pairs(idx, valid, n_cl: int):
+    """(N, K) per-ray cluster picks -> cluster-sorted pair slots.
+    Returns (sray, scl, slotcl) with P padded to a PAIR_KB*128 multiple;
+    invalid/padding slots carry scl == n_cl and sort to the tail."""
+    n, k = idx.shape
+    keys = jnp.where(valid, idx, n_cl).astype(jnp.int32).ravel()
+    p = n * k
+    kbq = 128 * PAIR_KB
+    pp = ((p + kbq - 1) // kbq) * kbq
+    keys = jnp.pad(keys, (0, pp - p), constant_values=n_cl)
+    perm = jnp.argsort(keys)
+    scl = keys[perm]
+    sray = jnp.pad(jnp.arange(p, dtype=jnp.int32) // k, (0, pp - p))[perm]
+    return sray, scl, scl.astype(jnp.float32)[:, None]
+
+
+def _pair_round(pack16, ray8_n, idx, valid, n_cl: int, bt: int):
+    """One closest-hit pair round over each ray's picked clusters.
+    Returns per-ray (t, col) for this round (inf/0 when none hit)."""
+    n = ray8_n.shape[0]
+    sray, scl, slotcl = _expand_pairs(idx, valid, n_cl)
+    ray8 = ray8_n[sray]
+    vis = _pair_tables(scl, n_cl, PAIR_KB)
+    t_s, col_s = _pairs_sweep(_pairs_closest_kernel, pack16, ray8,
+                              slotcl, vis, bt,
+                              [(1, jnp.float32), (1, jnp.int32)])
+    t_s = jnp.where(scl < n_cl, t_s[:, 0], jnp.inf)
+    col_s = col_s[:, 0]
+    t_ray = jnp.full((n,), jnp.inf).at[sray].min(t_s, mode="drop")
+    win = (t_s == t_ray[sray]) & jnp.isfinite(t_s)
+    col_ray = jnp.full((n,), _BIG_I32, jnp.int32).at[sray].min(
+        jnp.where(win, col_s, _BIG_I32), mode="drop")
+    col_ray = jnp.where(jnp.isfinite(t_ray), col_ray, 0)
+    return t_ray, col_ray
+
+
+def _closest_hit_pairs(tri_pack10, pack16, cluster8, org, dirn, tmin,
+                       tmax, n_tris: int):
+    """Pair-granular closest hit: two pair rounds + exact fallback.
+    Returns per-ray (t, col) in original ray order."""
+    n_cl = cluster8.shape[1]
+    bt = tri_pack10.shape[1] // n_cl
+    n = org.shape[0]
+    n_sub = _pick_nsub(tri_pack10, bt)
+    sub8 = _sub_aabbs(tri_pack10, n_tris) if n_sub > 1 else None
+    ent = _ray_cluster_entries(org, dirn, tmin, tmax, cluster8,
+                               sub8=sub8, n_sub=n_sub)
+    # one row argsort orders each ray's clusters front-to-back; both
+    # rounds and the straggler test slice it
+    sidx = jnp.argsort(ent, axis=1).astype(jnp.int32)
+    sent = jnp.take_along_axis(ent, sidx, axis=1)
+    ray8 = jnp.concatenate(
+        [org, dirn, tmin[:, None], tmax[:, None]], axis=1)
+
+    k1 = min(PAIR_K1, n_cl)
+    t1, c1 = _pair_round(pack16, ray8, sidx[:, :k1],
+                         jnp.isfinite(sent[:, :k1]), n_cl, bt)
+    k2 = min(PAIR_K1 + PAIR_K2, n_cl)
+    if k2 > k1:
+        v2 = jnp.isfinite(sent[:, k1:k2]) & (sent[:, k1:k2] < t1[:, None])
+        t2, c2 = _pair_round(pack16, ray8, sidx[:, k1:k2], v2, n_cl, bt)
+        use2 = t2 < t1
+        t12 = jnp.where(use2, t2, t1)
+        c12 = jnp.where(use2, c2, c1)
+    else:
+        t12, c12 = t1, c1
+    # stragglers: clusters past the caps still closer than the best hit
+    if n_cl > k2:
+        has3 = jnp.any(sent[:, k2:] < t12[:, None], axis=1)
+        tmax3 = jnp.where(has3, jnp.minimum(tmax, t12), -1.0)
+        t_fb, col_fb = _closest_fb_tcol(tri_pack10, pack16, cluster8,
+                                        org, dirn, tmin, tmax3, n_tris,
+                                        dead=~has3)
+        usef = t_fb < t12
+        t12 = jnp.where(usef, t_fb, t12)
+        c12 = jnp.where(usef, col_fb, c12)
+    return t12, c12
+
+
+def _pick_nsub(tri_pack10, bt: int) -> int:
+    """Sub-granularity for list tightening while the prelude's sub-level
+    slab sweep stays cheap; huge scenes fall back to coarse keys."""
+    return (bt // SUB_BT
+            if bt > SUB_BT and tri_pack10.shape[1] // SUB_BT <= 2048
+            else 1)
+
+
+def _closest_fb_tcol(tri_pack10, pack16, cluster8, org, dirn, tmin, tmax,
+                     n_tris: int, presorted: bool = False, dead=None):
+    """Front-to-back streaming block sweep returning per-ray (t, best
+    PACK COLUMN) in ORIGINAL ray order.  `dead` marks rays to sort to
+    the tail (their empty lists then cost nothing) — used by the pair
+    path's exactness fallback."""
+    n_cl = cluster8.shape[1]
+    bt = tri_pack10.shape[1] // n_cl
+    n = org.shape[0]
+    sort = (not presorted) and n_cl >= SORT_MIN_CLUSTERS
+    unperm = None
+    if sort:
+        perm, unperm = _ray_sort_perm(org, dirn, dead=dead)
+        ray_pack = jnp.concatenate(
+            [org, dirn, tmin[:, None], tmax[:, None]], axis=1)[perm]
+        org, dirn = ray_pack[:, 0:3], ray_pack[:, 3:6]
+        tmin, tmax = ray_pack[:, 6], ray_pack[:, 7]
+    bq = _pick_bq(bt)
+    (org_p, dir_p, inv_p, tlim), _ = _pad_rays(
+        [org, dirn, _inv_dir(dirn), jnp.stack([tmin, tmax], axis=1)], bq)
+    out_shape = [
+        jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.float32),
+        jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.int32),
+    ]
+    n_sub = _pick_nsub(tri_pack10, bt)
+    sub8 = (_sub_aabbs(tri_pack10, n_tris) if n_sub > 1 else None)
+    order, count = _block_cluster_order(
+        org_p, dir_p, tlim[:, 0], tlim[:, 1], cluster8, bq,
+        sub8=sub8, n_sub=n_sub)
+    k_sub = n_sub if _submask_mode() else 1
+    order, c128 = _order_groups(order)
+    # count rides as a plain SMEM operand; order stays in HBM and
+    # each block DMAs its own (C,) row into SMEM scratch in-kernel
+    # (a whole-array SMEM operand exceeds the 1 MB SMEM cap at fine
+    # cluster widths, and PrefetchScalarGridSpec kernels took
+    # 15+ min per remote Mosaic compile in this environment)
+    qspec_fb = lambda c: pl.BlockSpec(
+        (bq, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    t, col = pl.pallas_call(
+        functools.partial(_closest_kernel_stream,
+                          do_slab=_slab_mode(), n_sub=k_sub),
+        grid=(org_p.shape[0] // bq,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),  # order in HBM
+            smem,
+            pl.BlockSpec(memory_space=pltpu.HBM),  # pack in HBM
+            smem,
+            qspec_fb(3), qspec_fb(3), qspec_fb(3), qspec_fb(2),
+        ],
+        out_specs=[qspec_fb(1)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, bt), jnp.float32),
+            pltpu.SMEM((8, c128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        out_shape=out_shape,
+        interpret=INTERPRET,
+    )(order, count, pack16, cluster8, org_p, dir_p, inv_p, tlim)
+    t, col = t[:n, 0], col[:n, 0]
+    if sort:
+        # one packed un-permute gather; col ids ride as f32 VALUES
+        # (exact below 2^24 — a bitcast would produce denormals, which
+        # the TPU flushes to zero)
+        pk = jnp.stack([t, col.astype(jnp.float32)], axis=1)[unperm]
+        t, col = pk[:, 0], pk[:, 1].astype(jnp.int32)
+    return t, col
+
+
+def _closest_epilogue(tri_pack10, org, dirn, t, col, n_tris: int):
+    """(best-t, best PACK COLUMN) -> (t, tri, u, v, hit): u/v/orig-id
+    are recomputed from one 10-row gather + the same 40-flop MT (the
+    select epilogue in-kernel cost more than the whole MT at fine tile
+    widths).  hit lanes recompute to the kernel's t (identical math/
+    precision); misses carry col 0 and are masked by isfinite."""
+    hit = jnp.isfinite(t)
+    c10 = jnp.take(tri_pack10, col, axis=1)  # (10, n)
+    v0c = c10[0:3].T
+    e1c = c10[3:6].T
+    e2c = c10[6:9].T
+    pv = jnp.cross(dirn, e2c)
+    det = jnp.sum(pv * e1c, axis=-1)
+    invd = 1.0 / jnp.where(jnp.abs(det) < NEG_EPS, 1.0, det)
+    tv = org - v0c
+    u = jnp.sum(tv * pv, axis=-1) * invd
+    qv = jnp.cross(tv, e1c)
+    v = jnp.sum(dirn * qv, axis=-1) * invd
+    t_re = jnp.sum(e2c * qv, axis=-1) * invd
+    t = jnp.where(hit, t_re, jnp.inf)
+    tri = jnp.minimum(c10[9].astype(jnp.int32), n_tris - 1)
+    return (t, tri, u, v, hit)
 
 
 @functools.partial(jax.jit, static_argnames=("n_tris", "presorted"))
@@ -756,112 +1143,139 @@ def closest_hit_pallas(tri_pack10, cluster8, org, dirn, tmin, tmax,
     n_cl = cluster8.shape[1]
     bt = tri_pack10.shape[1] // n_cl
     use_fb = n_cl >= FB_MIN_CLUSTERS
-    sort = (not presorted) and n_cl >= SORT_MIN_CLUSTERS
-    if sort:
-        perm, unperm = _ray_sort_perm(org, dirn)
-        ray_pack = jnp.concatenate(
-            [org, dirn, tmin[:, None], tmax[:, None]], axis=1)[perm]
-        org, dirn = ray_pack[:, 0:3], ray_pack[:, 3:6]
-        tmin, tmax = ray_pack[:, 6], ray_pack[:, 7]
-    bq = _pick_bq(bt)
-    (org_p, dir_p, inv_p, tlim), n = _pad_rays(
-        [org, dirn, _inv_dir(dirn), jnp.stack([tmin, tmax], axis=1)], bq)
-    grid = (org_p.shape[0] // bq, n_cl)
-    out_shape = [
-        jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.float32),
-        jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.int32),
-    ]
     if use_fb:
-        # sub-granularity listing only while the prelude's
-        # (B, bq, C_sub) slab sweep stays cheap; huge scenes fall
-        # back to coarse cluster keys
-        n_sub = (bt // SUB_BT
-                 if bt > SUB_BT
-                 and tri_pack10.shape[1] // SUB_BT <= 2048 else 1)
-        sub8 = (_sub_aabbs(tri_pack10, n_tris) if n_sub > 1 else None)
-        order, count = _block_cluster_order(
-            org_p, dir_p, tlim[:, 0], tlim[:, 1], cluster8, bq,
-            sub8=sub8, n_sub=n_sub)
-        k_sub = n_sub if _submask_mode() else 1
-        order, c128 = _order_groups(order)
         # DMA-sliceable VMEM tiles need sublane counts aligned to 8:
         # pad the 10-row pack to 16 rows (rows 10:16 unused)
         pack16 = jnp.pad(tri_pack10, ((0, 6), (0, 0)))
-        # count rides as a plain SMEM operand; order stays in HBM and
-        # each block DMAs its own (C,) row into SMEM scratch in-kernel
-        # (a whole-array SMEM operand exceeds the 1 MB SMEM cap at fine
-        # cluster widths, and PrefetchScalarGridSpec kernels took
-        # 15+ min per remote Mosaic compile in this environment)
-        qspec_fb = lambda c: pl.BlockSpec(
-            (bq, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-        t, col = pl.pallas_call(
-            functools.partial(_closest_kernel_stream,
-                              do_slab=_slab_mode(), n_sub=k_sub),
-            grid=(grid[0],),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.HBM),  # order in HBM
-                smem,
-                pl.BlockSpec(memory_space=pltpu.HBM),  # pack in HBM
-                smem,
-                qspec_fb(3), qspec_fb(3), qspec_fb(3), qspec_fb(2),
-            ],
-            out_specs=[qspec_fb(1)] * 2,
-            scratch_shapes=[
-                pltpu.VMEM((2, 16, bt), jnp.float32),
-                pltpu.SMEM((8, c128), jnp.int32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA,
-            ],
-            out_shape=out_shape,
-            interpret=INTERPRET,
-        )(order, count, pack16, cluster8, org_p, dir_p, inv_p, tlim)
-    else:
-        qspec = lambda c: pl.BlockSpec((bq, c), lambda i, j: (i, 0),
-                                       memory_space=pltpu.VMEM)
-        t, col = pl.pallas_call(
-            _closest_kernel,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((10, bt), lambda i, j: (0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # cluster table
-                qspec(3), qspec(3), qspec(3), qspec(2),
-            ],
-            out_specs=[qspec(1)] * 2,
-            out_shape=out_shape,
-            interpret=INTERPRET,
-        )(tri_pack10, cluster8, org_p, dir_p, inv_p, tlim)
-    # the kernels return (best-t, best PACK COLUMN); u/v/orig-id are
-    # recomputed here from one 10-row gather + the same 40-flop MT (the
-    # select epilogue in-kernel cost more than the whole MT at fine
-    # tile widths).  hit lanes recompute to the kernel's t (identical
-    # math/precision); misses carry col 0 and are masked by isfinite.
-    hit = jnp.isfinite(t[:n, 0])
-    c10 = jnp.take(tri_pack10, col[:n, 0], axis=1)  # (10, n)
-    v0c = c10[0:3].T
-    e1c = c10[3:6].T
-    e2c = c10[6:9].T
-    pv = jnp.cross(dirn, e2c)
-    det = jnp.sum(pv * e1c, axis=-1)
-    invd = 1.0 / jnp.where(jnp.abs(det) < NEG_EPS, 1.0, det)
-    tv = org - v0c
-    u = jnp.sum(tv * pv, axis=-1) * invd
-    qv = jnp.cross(tv, e1c)
-    v = jnp.sum(dirn * qv, axis=-1) * invd
-    t_re = jnp.sum(e2c * qv, axis=-1) * invd
-    t = jnp.where(hit, t_re, jnp.inf)
-    tri = jnp.minimum(c10[9].astype(jnp.int32), n_tris - 1)
+        if _pairs_mode() and n_cl >= PAIRS_MIN_CLUSTERS:
+            t, col = _closest_hit_pairs(tri_pack10, pack16, cluster8,
+                                        org, dirn, tmin, tmax, n_tris)
+        else:
+            t, col = _closest_fb_tcol(tri_pack10, pack16, cluster8,
+                                      org, dirn, tmin, tmax, n_tris,
+                                      presorted=presorted)
+        return _closest_epilogue(tri_pack10, org, dirn, t, col, n_tris)
+    bq = _pick_bq(bt)
+    (org_p, dir_p, inv_p, tlim), n = _pad_rays(
+        [org, dirn, _inv_dir(dirn), jnp.stack([tmin, tmax], axis=1)], bq)
+    qspec = lambda c: pl.BlockSpec((bq, c), lambda i, j: (i, 0),
+                                   memory_space=pltpu.VMEM)
+    t, col = pl.pallas_call(
+        _closest_kernel,
+        grid=(org_p.shape[0] // bq, n_cl),
+        in_specs=[
+            pl.BlockSpec((10, bt), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cluster table
+            qspec(3), qspec(3), qspec(3), qspec(2),
+        ],
+        out_specs=[qspec(1)] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.float32),
+            jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.int32),
+        ],
+        interpret=INTERPRET,
+    )(tri_pack10, cluster8, org_p, dir_p, inv_p, tlim)
+    return _closest_epilogue(tri_pack10, org, dirn, t[:n, 0], col[:n, 0],
+                             n_tris)
+
+
+SHADOW_KS = 24  # pair-path cap on per-ray listed clusters (shadow)
+
+
+def _shadow_fb_lg(tri_pack10, pack16s, cluster8, org, dirn, dist,
+                  n_tris: int, presorted: bool = False, dead=None):
+    """Front-to-back streaming shadow sweep returning per-ray (N, 3)
+    LOG transmission in ORIGINAL ray order.  `dead` rays sort to the
+    tail (empty lists)."""
+    n_cl = cluster8.shape[1]
+    bt = tri_pack10.shape[1] // n_cl
+    n = org.shape[0]
+    sort = (not presorted) and n_cl >= SORT_MIN_CLUSTERS
+    unperm = None
     if sort:
-        # one packed un-permute gather; tri ids ride as f32 VALUES (exact
-        # below 2^24 — a bitcast would produce denormals, which the TPU
-        # flushes to zero)
-        out_pack = jnp.stack(
-            [t, u, v, tri.astype(jnp.float32)], axis=1)[unperm]
-        t, u, v = out_pack[:, 0], out_pack[:, 1], out_pack[:, 2]
-        tri = out_pack[:, 3].astype(jnp.int32)
-        return (t, tri, u, v, jnp.isfinite(t))
-    return (t, tri, u, v, hit)
+        perm, unperm = _ray_sort_perm(org, dirn, dead=dead)
+        ray_pack = jnp.concatenate([org, dirn, dist[:, None]],
+                                   axis=1)[perm]
+        org, dirn, dist = (ray_pack[:, 0:3], ray_pack[:, 3:6],
+                           ray_pack[:, 6])
+    bq = _pick_bq(bt)
+    (org_p, dir_p, inv_p, dist_p), _ = _pad_rays(
+        [org, dirn, _inv_dir(dirn), dist[:, None]], bq)
+    d = dist_p[:, 0]
+    n_sub = _pick_nsub(tri_pack10, bt)
+    sub8 = (_sub_aabbs(tri_pack10, n_tris) if n_sub > 1 else None)
+    order, count = _block_cluster_order(
+        org_p, dir_p, jnp.full_like(d, 5e-4),
+        d * (1.0 - 1e-4) - 5e-4, cluster8, bq,
+        sub8=sub8, n_sub=n_sub)
+    k_sub = n_sub if _submask_mode() else 1
+    order, c128 = _order_groups(order)
+    qspec_fb = lambda c: pl.BlockSpec(
+        (bq, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    lg = pl.pallas_call(
+        functools.partial(_shadow_kernel_stream,
+                          do_slab=_slab_mode(), n_sub=k_sub),
+        grid=(org_p.shape[0] // bq,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),  # order HBM
+                  smem,
+                  pl.BlockSpec(memory_space=pltpu.HBM),
+                  smem,
+                  qspec_fb(3), qspec_fb(3), qspec_fb(3),
+                  qspec_fb(1)],
+        out_specs=qspec_fb(3),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, bt), jnp.float32),
+            pltpu.SMEM((8, c128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        out_shape=jax.ShapeDtypeStruct((org_p.shape[0], 3), jnp.float32),
+        interpret=INTERPRET,
+    )(order, count, pack16s, cluster8, org_p, dir_p, inv_p, dist_p)
+    lg = lg[:n]
+    if sort:
+        lg = lg[unperm]
+    return lg
+
+
+def _shadow_transmission_pairs(tri_pack10, pack16s, cluster8, org, dirn,
+                               dist, n_tris: int):
+    """Pair-granular shadow transmission: rays whose (finite-dist)
+    corridor lists <= SHADOW_KS clusters are handled entirely by one
+    pair sweep (per-slot log transmission scatter-ADDED per ray); the
+    rest — no caps apply to them — run the block sweep, sorted into
+    dense straggler blocks.  Returns (N, 3) transmission."""
+    n_cl = cluster8.shape[1]
+    bt = tri_pack10.shape[1] // n_cl
+    n = org.shape[0]
+    tmin = jnp.full_like(dist, 5e-4)
+    tmax = dist * (1.0 - 1e-4) - 5e-4
+    n_sub = _pick_nsub(tri_pack10, bt)
+    sub8 = _sub_aabbs(tri_pack10, n_tris) if n_sub > 1 else None
+    ent = _ray_cluster_entries(org, dirn, tmin, tmax, cluster8,
+                               sub8=sub8, n_sub=n_sub)
+    ks = min(SHADOW_KS, n_cl)
+    negv, idx = jax.lax.top_k(-ent, ks)
+    fin = jnp.isfinite(negv)
+    capable = (jnp.sum(jnp.isfinite(ent), axis=1) <= ks)
+    valid = fin & capable[:, None]
+    sray, scl, slotcl = _expand_pairs(idx, valid, n_cl)
+    ray8 = jnp.concatenate(
+        [org, dirn, tmin[:, None], tmax[:, None]], axis=1)[sray]
+    vis = _pair_tables(scl, n_cl, PAIR_KB)
+    (lg_s,) = _pairs_sweep(_pairs_shadow_kernel, pack16s, ray8, slotcl,
+                           vis, bt, [(3, jnp.float32)])
+    lg_s = jnp.where((scl < n_cl)[:, None], lg_s, 0.0)
+    lg_ray = jnp.zeros((n, 3), jnp.float32).at[sray].add(
+        lg_s, mode="drop")
+    # stragglers (uncapped corridors) via the block sweep; killed rays'
+    # negative dist makes an empty corridor -> log 0 -> transmission 1
+    dist_fb = jnp.where(capable, -1.0, dist)
+    lg_fb = _shadow_fb_lg(tri_pack10, pack16s, cluster8, org, dirn,
+                          dist_fb, n_tris, dead=capable)
+    return jnp.exp(lg_ray + lg_fb)
 
 
 @functools.partial(jax.jit, static_argnames=("n_tris", "presorted"))
@@ -876,86 +1290,42 @@ def shadow_transmission_pallas(tri_pack10, cluster8, filt4, org, dirn,
     n_cl = cluster8.shape[1]
     bt = tri_pack10.shape[1] // n_cl
     use_fb = n_cl >= FB_MIN_CLUSTERS
-    sort = (not presorted) and n_cl >= SORT_MIN_CLUSTERS
-    if sort:
-        perm, unperm = _ray_sort_perm(org, dirn)
-        ray_pack = jnp.concatenate([org, dirn, dist[:, None]],
-                                   axis=1)[perm]
-        org, dirn, dist = (ray_pack[:, 0:3], ray_pack[:, 3:6],
-                           ray_pack[:, 6])
-    bq = _pick_bq(bt)
-    (org_p, dir_p, inv_p, dist_p), n = _pad_rays(
-        [org, dirn, _inv_dir(dirn), dist[:, None]], bq)
     pad = tri_pack10.shape[1] - filt4.shape[1]
     if pad:
         # padded triangles never hit; filter value is irrelevant but keep 1
         filt4 = jnp.pad(filt4, ((0, 0), (0, pad)), constant_values=1.0)
     # per-tri log filter rows; -80 (exp -> flushed 0) marks opaque
     logf4 = jnp.maximum(jnp.log(jnp.maximum(filt4, 1e-35)), -80.0)
-    grid = (org_p.shape[0] // bq, n_cl)
-    out_shape = jax.ShapeDtypeStruct((org_p.shape[0], 3), jnp.float32)
     if use_fb:
-        d = dist_p[:, 0]
-        # sub-granularity listing only while the prelude's
-        # (B, bq, C_sub) slab sweep stays cheap; huge scenes fall
-        # back to coarse cluster keys
-        n_sub = (bt // SUB_BT
-                 if bt > SUB_BT
-                 and tri_pack10.shape[1] // SUB_BT <= 2048 else 1)
-        sub8 = (_sub_aabbs(tri_pack10, n_tris) if n_sub > 1 else None)
-        order, count = _block_cluster_order(
-            org_p, dir_p, jnp.full_like(d, 5e-4),
-            d * (1.0 - 1e-4) - 5e-4, cluster8, bq,
-            sub8=sub8, n_sub=n_sub)
-        k_sub = n_sub if _submask_mode() else 1
-        order, c128 = _order_groups(order)
         # (16, T) streamed pack: tri rows 0:10 + rgb log-filter rows
         # 10:13 + padding to the 8-sublane DMA alignment
-        pack16 = jnp.concatenate(
+        pack16s = jnp.concatenate(
             [tri_pack10, logf4,
              jnp.zeros((2, tri_pack10.shape[1]), jnp.float32)], axis=0)
-        qspec_fb = lambda c: pl.BlockSpec(
-            (bq, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-        lg = pl.pallas_call(
-            functools.partial(_shadow_kernel_stream,
-                              do_slab=_slab_mode(), n_sub=k_sub),
-            grid=(grid[0],),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),  # order HBM
-                      smem,
-                      pl.BlockSpec(memory_space=pltpu.HBM),
-                      smem,
-                      qspec_fb(3), qspec_fb(3), qspec_fb(3),
-                      qspec_fb(1)],
-            out_specs=qspec_fb(3),
-            scratch_shapes=[
-                pltpu.VMEM((2, 16, bt), jnp.float32),
-                pltpu.SMEM((8, c128), jnp.int32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA,
-            ],
-            out_shape=out_shape,
-            interpret=INTERPRET,
-        )(order, count, pack16, cluster8, org_p, dir_p, inv_p, dist_p)
-    else:
-        qspec = lambda c: pl.BlockSpec((bq, c), lambda i, j: (i, 0),
-                                       memory_space=pltpu.VMEM)
-        tspec = lambda c: pl.BlockSpec((c, bt), lambda i, j: (0, j),
-                                       memory_space=pltpu.VMEM)
-        lg = pl.pallas_call(
-            _shadow_kernel,
-            grid=grid,
-            in_specs=[tspec(10),
-                      pl.BlockSpec(memory_space=pltpu.SMEM),
-                      tspec(4), qspec(3), qspec(3), qspec(3), qspec(1)],
-            out_specs=qspec(3),
-            out_shape=out_shape,
-            interpret=INTERPRET,
-        )(tri_pack10, cluster8, logf4, org_p, dir_p, inv_p, dist_p)
-    tr = jnp.exp(lg[:n])
-    if sort:
-        tr = tr[unperm]
-    return tr
+        if _pairs_mode() and n_cl >= PAIRS_MIN_CLUSTERS:
+            return _shadow_transmission_pairs(
+                tri_pack10, pack16s, cluster8, org, dirn, dist, n_tris)
+        return jnp.exp(_shadow_fb_lg(
+            tri_pack10, pack16s, cluster8, org, dirn, dist, n_tris,
+            presorted=presorted))
+    bq = _pick_bq(bt)
+    (org_p, dir_p, inv_p, dist_p), n = _pad_rays(
+        [org, dirn, _inv_dir(dirn), dist[:, None]], bq)
+    qspec = lambda c: pl.BlockSpec((bq, c), lambda i, j: (i, 0),
+                                   memory_space=pltpu.VMEM)
+    tspec = lambda c: pl.BlockSpec((c, bt), lambda i, j: (0, j),
+                                   memory_space=pltpu.VMEM)
+    lg = pl.pallas_call(
+        _shadow_kernel,
+        grid=(org_p.shape[0] // bq, n_cl),
+        in_specs=[tspec(10),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  tspec(4), qspec(3), qspec(3), qspec(3), qspec(1)],
+        out_specs=qspec(3),
+        out_shape=jax.ShapeDtypeStruct((org_p.shape[0], 3), jnp.float32),
+        interpret=INTERPRET,
+    )(tri_pack10, cluster8, logf4, org_p, dir_p, inv_p, dist_p)
+    return jnp.exp(lg[:n])
 
 
 # ---------------------------------------------------------------------------

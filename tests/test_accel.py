@@ -270,3 +270,64 @@ def test_pallas_subcluster_culling_matches_brute(monkeypatch):
         assert np.allclose(np.asarray(tr_p), np.asarray(tr_b), atol=2e-3)
     finally:
         pli.INTERPRET = False
+
+
+def test_pallas_pairs_path_matches_brute(monkeypatch):
+    """The r3 pair-granular path (per-ray cluster lists expanded into
+    cluster-sorted pair slots; two capped rounds + the block-sweep
+    exactness fallback) must agree with brute force bit-for-bit on
+    hits/tri ids.  Tiny K1/K2 caps force round 2 AND the straggler
+    fallback to do real work."""
+    from libyafaray_tpu.ops import pallas_intersect as pli
+
+    monkeypatch.setenv("LIBYAF_BT", "128")
+    monkeypatch.setattr(pli, "PAIRS_MIN_CLUSTERS", 4)
+    monkeypatch.setattr(pli, "PAIR_K1", 2)
+    monkeypatch.setattr(pli, "PAIR_K2", 3)
+    monkeypatch.setattr(pli, "PAIR_KB", 4)
+    monkeypatch.setattr(pli, "SHADOW_KS", 5)
+    pli.INTERPRET = True
+    try:
+        rng = np.random.default_rng(17)
+        t = 2999  # unique n_tris: the tiny caps are baked at trace time
+        v0 = rng.uniform(-4, 4, (t, 3)).astype(np.float32)
+        e1 = rng.normal(0, 0.45, (t, 3)).astype(np.float32)
+        e2 = rng.normal(0, 0.45, (t, 3)).astype(np.float32)
+        order = pli.morton_order(v0, e1, e2)
+        pack, cl, s_ord = pli.build_tri_pack(v0, e1, e2, order)
+        assert cl.shape[1] >= pli.PAIRS_MIN_CLUSTERS
+        n = 256
+        org = jnp.asarray(rng.uniform(-4, 4, (n, 3)), jnp.float32)
+        d = rng.normal(size=(n, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        d = jnp.asarray(d, jnp.float32)
+        tmin = jnp.full((n,), 5e-5)
+        tc, tri, _, _, hit = pli.closest_hit_pallas(
+            jnp.asarray(pack), jnp.asarray(cl), org, d, tmin,
+            jnp.full((n,), jnp.inf), n_tris=t)
+        v0p, e1p, e2p, _ = pad_triangles(v0, e1, e2, 128)
+        tris_p = dict(v0=jnp.asarray(v0p), e1=jnp.asarray(e1p),
+                      e2=jnp.asarray(e2p))
+        hb = closest_hit_brute(tris_p, org, d, tmin, chunk=128)
+        assert np.array_equal(np.asarray(hit), np.asarray(hb.hit))
+        m = np.asarray(hb.hit)
+        assert np.allclose(np.asarray(tc)[m], np.asarray(hb.t)[m],
+                           rtol=1e-4)
+        assert np.array_equal(np.asarray(tri)[m], np.asarray(hb.tri)[m])
+
+        filt = (rng.random((t, 3)) * (rng.random((t, 1)) > 0.5)).astype(
+            np.float32)
+        filt_pk = filt[s_ord]
+        filt4 = jnp.asarray(np.concatenate(
+            [filt_pk.T, np.zeros((1, filt_pk.shape[0]), np.float32)]))
+        dist = jnp.full((n,), 3.0, jnp.float32)
+        tr_p = pli.shadow_transmission_pallas(
+            jnp.asarray(pack), jnp.asarray(cl), filt4, org, d, dist,
+            n_tris=t)
+        filt_pad = np.concatenate(
+            [filt, np.zeros((v0p.shape[0] - t, 3), np.float32)])
+        tr_b = shadow_transmission_brute(tris_p, jnp.asarray(filt_pad),
+                                         org, d, dist, chunk=128)
+        assert np.allclose(np.asarray(tr_p), np.asarray(tr_b), atol=2e-3)
+    finally:
+        pli.INTERPRET = False
