@@ -3,18 +3,95 @@
 Reference (SURVEY §2.1 'Noise generators' + §2.5 basictex.cc): Blender-
 compatible procedural set — clouds, marble, wood, voronoi (4 metrics,
 weighted F1..F4), musgrave fractals (fBm / ridged / hybrid), distorted
-noise, blend gradient, RGB cube — over Perlin-style gradient noise.
+noise, blend gradient, RGB cube — over a selectable noise BASIS
+(noise_type param): `newperlin`/`stdperlin` are the canonical Improved
+Perlin (2002) with the published reference permutation (numerically the
+function Blender's newPerlin implements); `voronoi_f1..f4`, `crackle`
+and `cellnoise` reuse the Worley machinery; `blender` (the default
+orgBlenderNoise) is a hash-gradient stand-in — its fitted table is not
+re-derivable offline (PARITY.md).
 
-TPU-native: hash-based gradient noise computed lane-wise (no permutation
-tables in memory; the hash IS the table), fixed-octave fractals (static
-unroll), all pure jnp.  Texture spec tuples are static so each used texture
-compiles to straight-line VPU code.
+TPU-native: lane-wise evaluation (the canonical basis does its 512-entry
+permutation lookups as jnp gathers; the hash bases need no tables),
+fixed-octave fractals (static unroll), all pure jnp.  Texture spec
+tuples are static so each used texture compiles to straight-line VPU
+code.
 """
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from ..core import qmc
+
+# Ken Perlin's reference permutation (2002 "Improving Noise", public
+# reference implementation) — doubled to avoid index wrapping.
+_PERLIN_PERM = np.array([
+    151, 160, 137, 91, 90, 15, 131, 13, 201, 95, 96, 53, 194, 233, 7,
+    225, 140, 36, 103, 30, 69, 142, 8, 99, 37, 240, 21, 10, 23, 190, 6,
+    148, 247, 120, 234, 75, 0, 26, 197, 62, 94, 252, 219, 203, 117, 35,
+    11, 32, 57, 177, 33, 88, 237, 149, 56, 87, 174, 20, 125, 136, 171,
+    168, 68, 175, 74, 165, 71, 134, 139, 48, 27, 166, 77, 146, 158,
+    231, 83, 111, 229, 122, 60, 211, 133, 230, 220, 105, 92, 41, 55,
+    46, 245, 40, 244, 102, 143, 54, 65, 25, 63, 161, 1, 216, 80, 73,
+    209, 76, 132, 187, 208, 89, 18, 169, 200, 196, 135, 130, 116, 188,
+    159, 86, 164, 100, 109, 198, 173, 186, 3, 64, 52, 217, 226, 250,
+    124, 123, 5, 202, 38, 147, 118, 126, 255, 82, 85, 212, 207, 206,
+    59, 227, 47, 16, 58, 17, 182, 189, 28, 42, 223, 183, 170, 213, 119,
+    248, 152, 2, 44, 154, 163, 70, 221, 153, 101, 155, 167, 43, 172, 9,
+    129, 22, 39, 253, 19, 98, 108, 110, 79, 113, 224, 232, 178, 185,
+    112, 104, 218, 246, 97, 228, 251, 34, 242, 193, 238, 210, 144, 12,
+    191, 179, 162, 241, 81, 51, 145, 235, 249, 14, 239, 107, 49, 192,
+    214, 31, 181, 199, 106, 157, 184, 84, 204, 176, 115, 121, 50, 45,
+    127, 4, 150, 254, 138, 236, 205, 93, 222, 114, 67, 29, 24, 72, 243,
+    141, 128, 195, 78, 66, 215, 61, 156, 180], np.int32)
+_PERLIN_PERM2 = np.concatenate([_PERLIN_PERM, _PERLIN_PERM])
+
+
+def _perlin_grad(h, x, y, z):
+    """Canonical improved-Perlin gradient: h & 15 selects one of 12 edge
+    vectors (with 4 repeats), dotted with the offset."""
+    h = h & 15
+    u = jnp.where(h < 8, x, y)
+    v = jnp.where(h < 4, y, jnp.where((h == 12) | (h == 14), x, z))
+    return (jnp.where((h & 1) == 0, u, -u)
+            + jnp.where((h & 2) == 0, v, -v))
+
+
+def perlin_noise(p):
+    """Improved Perlin noise (2002), canonical: reference permutation,
+    quintic fade, 12 edge gradients.  Zero at every integer lattice
+    point; range within [-1, 1].  This is the function Blender's
+    `newPerlin` basis evaluates — numeric parity for that basis."""
+    perm = jnp.asarray(_PERLIN_PERM2)
+    pi = jnp.floor(p)
+    pf = p - pi
+    xi = (pi[..., 0].astype(jnp.int32)) & 255
+    yi = (pi[..., 1].astype(jnp.int32)) & 255
+    zi = (pi[..., 2].astype(jnp.int32)) & 255
+    x, y, z = pf[..., 0], pf[..., 1], pf[..., 2]
+    u, v, w = _fade(x), _fade(y), _fade(z)
+    a = perm[xi] + yi
+    aa = perm[a] + zi
+    ab = perm[a + 1] + zi
+    b = perm[xi + 1] + yi
+    ba = perm[b] + zi
+    bb = perm[b + 1] + zi
+
+    def lerp(lo, hi, t):
+        return lo + (hi - lo) * t
+
+    c000 = _perlin_grad(perm[aa], x, y, z)
+    c100 = _perlin_grad(perm[ba], x - 1, y, z)
+    c010 = _perlin_grad(perm[ab], x, y - 1, z)
+    c110 = _perlin_grad(perm[bb], x - 1, y - 1, z)
+    c001 = _perlin_grad(perm[aa + 1], x, y, z - 1)
+    c101 = _perlin_grad(perm[ba + 1], x - 1, y, z - 1)
+    c011 = _perlin_grad(perm[ab + 1], x, y - 1, z - 1)
+    c111 = _perlin_grad(perm[bb + 1], x - 1, y - 1, z - 1)
+    return lerp(
+        lerp(lerp(c000, c100, u), lerp(c010, c110, u), v),
+        lerp(lerp(c001, c101, u), lerp(c011, c111, u), v), w)
 
 
 def _hash3(ix, iy, iz, seed=0):
@@ -70,14 +147,51 @@ def gradient_noise(p, seed: int = 0):
     return lerp(lerp(x00, x10, v), lerp(x01, x11, v), w) * 0.97
 
 
-def turbulence(p, octaves: int, hard: bool = False, seed: int = 0):
+def noise_basis(p, basis: str = "blender", seed: int = 0):
+    """Selectable noise basis in [-1, 1] (Blender noise_type values,
+    reference src/textures/basictex.cc + BLI noise):
+      blender      hash-gradient stand-in (orgBlenderNoise table is not
+                   re-derivable offline — PARITY.md)
+      newperlin    canonical Improved Perlin (exact; seed ignored like
+                   Blender — octaves decorrelate by frequency)
+      stdperlin    mapped to newperlin (the 1985 table is generated from
+                   a seeded libc RNG; not reproducible offline)
+      voronoi_f1..f4, voronoi_crackle, cellnoise: Worley-based values.
+    """
+    if basis in ("newperlin", "improvedperlin", "stdperlin", "perlin"):
+        return perlin_noise(p)
+    if basis.startswith("voronoi") or basis == "crackle":
+        f1, f2, f3, f4, _ = voronoi_f(p, "dist", seed)
+        if basis.endswith("f2"):
+            v = f2
+        elif basis.endswith("f3"):
+            v = f3
+        elif basis.endswith("f4"):
+            v = f4
+        elif basis.endswith("crackle") or basis == "crackle":
+            v = f2 - f1
+        else:
+            v = f1
+        return jnp.clip(v, 0.0, 1.0) * 2.0 - 1.0
+    if basis == "cellnoise":
+        pi = jnp.floor(p)
+        h = _hash3(pi[..., 0].astype(jnp.int32),
+                   pi[..., 1].astype(jnp.int32),
+                   pi[..., 2].astype(jnp.int32), seed)
+        return (h & jnp.uint32(0xFFFF)).astype(jnp.float32) \
+            / 32767.5 - 1.0
+    return gradient_noise(p, seed)
+
+
+def turbulence(p, octaves: int, hard: bool = False, seed: int = 0,
+               basis: str = "blender"):
     """fBm / turbulence, result ~[0,1] (abs-sum when hard)."""
     amp = 1.0
     freq = 1.0
     total = jnp.zeros(p.shape[:-1], jnp.float32)
     norm = 0.0
     for o in range(max(1, min(octaves, 8))):
-        n = gradient_noise(p * freq, seed + o)
+        n = noise_basis(p * freq, basis, seed + o)
         total = total + amp * (jnp.abs(n) if hard else n)
         norm += amp
         amp *= 0.5
@@ -140,36 +254,36 @@ def voronoi_f(p, metric: str = "dist", seed: int = 0):
 
 def musgrave(p, mtype: str, octaves: int = 6, h_exp: float = 1.0,
              lacunarity: float = 2.0, offset: float = 1.0,
-             gain: float = 1.0, seed: int = 0):
+             gain: float = 1.0, seed: int = 0, basis: str = "blender"):
     value = jnp.zeros(p.shape[:-1], jnp.float32)
     freq = 1.0
     amp = 1.0
     if mtype == "ridged_multifractal":
-        signal = offset - jnp.abs(gradient_noise(p, seed))
+        signal = offset - jnp.abs(noise_basis(p, basis, seed))
         signal = signal * signal
         value = signal
         weight = jnp.ones_like(value)
         for o in range(1, max(2, min(octaves, 8))):
             freq *= lacunarity
             weight = jnp.clip(signal * gain, 0.0, 1.0)
-            signal = offset - jnp.abs(gradient_noise(p * freq, seed + o))
+            signal = offset - jnp.abs(noise_basis(p * freq, basis, seed + o))
             signal = signal * signal * weight
             value = value + signal / (freq ** h_exp)
         return value
     if mtype == "hybrid_multifractal":
-        value = gradient_noise(p, seed) + offset
+        value = noise_basis(p, basis, seed) + offset
         weight = value
         for o in range(1, max(2, min(octaves, 8))):
             freq *= lacunarity
             weight = jnp.minimum(weight, 1.0)
-            signal = (gradient_noise(p * freq, seed + o) + offset) \
+            signal = (noise_basis(p * freq, basis, seed + o) + offset) \
                 / (freq ** h_exp)
             value = value + weight * signal
             weight = weight * signal
         return value
     # fBm / multifractal
     for o in range(max(1, min(octaves, 8))):
-        value = value + gradient_noise(p * freq, seed + o) * amp
+        value = value + noise_basis(p * freq, basis, seed + o) * amp
         freq *= lacunarity
         amp /= lacunarity ** h_exp
     return value
@@ -183,16 +297,18 @@ def eval_procedural(spec: tuple, p, uv):
     size = float(params.get("size", 1.0))
     q = p * size
 
+    basis = str(params.get("noise_type", "blender")).lower()
     if ttype == "clouds":
         depth = int(params.get("depth", 2))
-        t = turbulence(q, depth + 1, hard=bool(params.get("hard", False)))
+        t = turbulence(q, depth + 1, hard=bool(params.get("hard", False)),
+                       basis=basis)
         return jnp.stack([t, t, t], axis=-1)
 
     if ttype == "marble":
         depth = int(params.get("depth", 2))
         turb = float(params.get("turbulence", 5.0))
         sharp = float(params.get("sharpness", 1.0))
-        n = turb * turbulence(q, depth + 1, hard=True)
+        n = turb * turbulence(q, depth + 1, hard=True, basis=basis)
         t = jnp.sin((q[..., 0] + q[..., 1] + q[..., 2]) * jnp.pi + n)
         t = jnp.power(jnp.abs(t), 1.0 / max(sharp, 1e-3)) * jnp.sign(t)
         t = t * 0.5 + 0.5
@@ -200,7 +316,7 @@ def eval_procedural(spec: tuple, p, uv):
 
     if ttype == "wood":
         turb = float(params.get("turbulence", 2.0))
-        n = turb * 0.1 * turbulence(q, 3, hard=True)
+        n = turb * 0.1 * turbulence(q, 3, hard=True, basis=basis)
         r = jnp.sqrt(q[..., 0] ** 2 + q[..., 1] ** 2)
         wtype = params.get("wood_type", "rings")
         base = r if wtype in ("rings", "ringnoise") else (
@@ -236,6 +352,7 @@ def eval_procedural(spec: tuple, p, uv):
             lacunarity=float(params.get("lacunarity", 2.0)),
             offset=float(params.get("offset", 1.0)),
             gain=float(params.get("gain", 1.0)),
+            basis=basis,
         )
         t = jnp.clip(t * float(params.get("intensity", 1.0)) * 0.5 + 0.5,
                      0.0, 1.0)
@@ -243,8 +360,12 @@ def eval_procedural(spec: tuple, p, uv):
 
     if ttype == "distorted_noise":
         dist = float(params.get("distort", 1.0))
-        n1 = gradient_noise(q, 7)
-        t = gradient_noise(q + dist * n1[..., None], 13) * 0.5 + 0.5
+        b1 = str(params.get("noise_type1", basis)).lower()
+        b2 = str(params.get("noise_type2", basis)).lower()
+        # the +13.5 lattice offset decorrelates the distortion field
+        # from the carrier when both use the same (seedless) basis
+        n1 = noise_basis(q + 13.5, b1, 7)
+        t = noise_basis(q + dist * n1[..., None], b2, 13) * 0.5 + 0.5
         return jnp.stack([t, t, t], axis=-1)
 
     if ttype == "blend":

@@ -459,3 +459,106 @@ def test_bicubic_sampling():
     got = np.asarray(sample_image_bicubic(jnp.asarray(ramp), uu, vv))
     ref = np.asarray(uu) * 16 - 0.5
     assert np.allclose(got[:, 0], ref, atol=1e-4)
+
+
+def test_perlin_noise_canonical_invariants():
+    """Canonical Improved Perlin (2002): exactly zero at every integer
+    lattice point, bounded in [-1, 1], C1-smooth across cell faces, and
+    a known closed-form interior value (independent scalar recompute of
+    the reference algorithm checks table/gather wiring)."""
+    import jax.numpy as jnp
+    from libyafaray_tpu.textures.procedural import (
+        perlin_noise, noise_basis, _PERLIN_PERM2)
+
+    rng = np.random.default_rng(5)
+    lat = rng.integers(-40, 40, (256, 3)).astype(np.float32)
+    z = np.asarray(perlin_noise(jnp.asarray(lat)))
+    assert np.max(np.abs(z)) == 0.0
+
+    p = rng.uniform(-20, 20, (4096, 3)).astype(np.float32)
+    v = np.asarray(perlin_noise(jnp.asarray(p)))
+    assert v.min() >= -1.0 and v.max() <= 1.0
+    assert v.std() > 0.05  # not degenerate
+
+    # continuity across a cell face
+    eps = 1e-4
+    a = np.array([[3.0 - eps, 1.3, 0.7]], np.float32)
+    b = np.array([[3.0 + eps, 1.3, 0.7]], np.float32)
+    va = float(perlin_noise(jnp.asarray(a))[0])
+    vb = float(perlin_noise(jnp.asarray(b))[0])
+    assert abs(va - vb) < 1e-2
+
+    # independent scalar reference (pure python, same published table)
+    perm = _PERLIN_PERM2
+
+    def fade(t):
+        return t * t * t * (t * (t * 6 - 15) + 10)
+
+    def grad(h, x, y, z):
+        h &= 15
+        u = x if h < 8 else y
+        w = y if h < 4 else (x if h in (12, 14) else z)
+        return (u if (h & 1) == 0 else -u) + (w if (h & 2) == 0 else -w)
+
+    def ref(x, y, z):
+        xi, yi, zi = int(np.floor(x)) & 255, int(np.floor(y)) & 255, \
+            int(np.floor(z)) & 255
+        x -= np.floor(x); y -= np.floor(y); z -= np.floor(z)
+        u, v_, w = fade(x), fade(y), fade(z)
+        a = perm[xi] + yi
+        aa, ab = perm[a] + zi, perm[a + 1] + zi
+        b = perm[xi + 1] + yi
+        ba, bb = perm[b] + zi, perm[b + 1] + zi
+
+        def lerp(t, lo, hi):
+            return lo + t * (hi - lo)
+
+        return lerp(w, lerp(v_, lerp(u, grad(perm[aa], x, y, z),
+                                     grad(perm[ba], x - 1, y, z)),
+                            lerp(u, grad(perm[ab], x, y - 1, z),
+                                 grad(perm[bb], x - 1, y - 1, z))),
+                    lerp(v_, lerp(u, grad(perm[aa + 1], x, y, z - 1),
+                                  grad(perm[ba + 1], x - 1, y, z - 1)),
+                         lerp(u, grad(perm[ab + 1], x, y - 1, z - 1),
+                              grad(perm[bb + 1], x - 1, y - 1,
+                                   z - 1))))
+
+    pts = rng.uniform(-10, 10, (32, 3)).astype(np.float64)
+    got = np.asarray(perlin_noise(jnp.asarray(pts, jnp.float32)))
+    want = np.array([ref(*q) for q in pts])
+    assert np.allclose(got, want, atol=2e-5)
+
+    # basis dispatch: newperlin == canonical; cellnoise piecewise const
+    nb = np.asarray(noise_basis(jnp.asarray(pts, jnp.float32),
+                                "newperlin"))
+    assert np.allclose(nb, got)
+    c1 = np.asarray(noise_basis(jnp.asarray([[4.1, 2.2, 3.3]],
+                                            jnp.float32), "cellnoise"))
+    c2 = np.asarray(noise_basis(jnp.asarray([[4.9, 2.7, 3.6]],
+                                            jnp.float32), "cellnoise"))
+    assert np.allclose(c1, c2)  # same cell -> same value
+
+
+def test_noise_basis_threading_through_textures():
+    """noise_type reaches clouds/musgrave/distorted evaluation: bases
+    give different fields, all bounded."""
+    import jax.numpy as jnp
+    from libyafaray_tpu.textures.procedural import eval_procedural
+
+    rng = np.random.default_rng(6)
+    p = jnp.asarray(rng.uniform(-4, 4, (512, 3)), jnp.float32)
+    uv = jnp.zeros((512, 2), jnp.float32)
+    outs = {}
+    for basis in ("blender", "newperlin", "voronoi_f1", "cellnoise"):
+        spec = ("clouds", (("depth", 2), ("noise_type", basis),
+                           ("size", 1.0)), None)
+        v = np.asarray(eval_procedural(spec, p, uv))
+        assert v.min() >= 0.0 and v.max() <= 1.0
+        outs[basis] = v
+    assert not np.allclose(outs["blender"], outs["newperlin"])
+    assert not np.allclose(outs["newperlin"], outs["voronoi_f1"])
+    spec = ("distorted_noise", (("distort", 2.0),
+                                ("noise_type1", "newperlin"),
+                                ("noise_type2", "voronoi_crackle")), None)
+    v = np.asarray(eval_procedural(spec, p, uv))
+    assert np.isfinite(v).all()
