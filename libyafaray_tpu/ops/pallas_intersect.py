@@ -1021,7 +1021,7 @@ def _closest_hit_pairs(tri_pack10, pack16, cluster8, org, dirn, tmin,
         tmax3 = jnp.where(has3, jnp.minimum(tmax, t12), -1.0)
         t_fb, col_fb = _closest_fb_tcol(tri_pack10, pack16, cluster8,
                                         org, dirn, tmin, tmax3, n_tris,
-                                        dead=~has3)
+                                        dead=~has3, ent=ent)
         usef = t_fb < t12
         t12 = jnp.where(usef, t_fb, t12)
         c12 = jnp.where(usef, col_fb, c12)
@@ -1036,12 +1036,33 @@ def _pick_nsub(tri_pack10, bt: int) -> int:
             else 1)
 
 
+def _block_order_from_entries(ent_p, bq: int, tmax_p):
+    """Per-block front-to-back cluster lists from a PRECOMPUTED per-ray
+    entry matrix (pair path reuse — no slab recompute).  Lowering tmax
+    only changes reachability via `entry <= tmax`: the slab enter term
+    has no tmax dependence, and entry <= exit already held when the
+    entry was stored, so new-hit <=> entry <= new tmax, exactly."""
+    key_ray = jnp.where(ent_p <= tmax_p[:, None], ent_p, jnp.inf)
+    b = ent_p.shape[0] // bq
+    key = jnp.min(key_ray.reshape(b, bq, -1), axis=1)
+    n_cl = key.shape[1]
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    count = jnp.sum(jnp.isfinite(key), axis=1).astype(jnp.int32)
+    jidx = jax.lax.broadcasted_iota(jnp.int32, (b, n_cl), 1)
+    last = jnp.take_along_axis(order,
+                               jnp.maximum(count - 1, 0)[:, None], axis=1)
+    order = jnp.where(jidx < jnp.maximum(count, 1)[:, None], order, last)
+    return order, count
+
+
 def _closest_fb_tcol(tri_pack10, pack16, cluster8, org, dirn, tmin, tmax,
-                     n_tris: int, presorted: bool = False, dead=None):
+                     n_tris: int, presorted: bool = False, dead=None,
+                     ent=None):
     """Front-to-back streaming block sweep returning per-ray (t, best
     PACK COLUMN) in ORIGINAL ray order.  `dead` marks rays to sort to
-    the tail (their empty lists then cost nothing) — used by the pair
-    path's exactness fallback."""
+    the tail (their empty lists then cost nothing); `ent` is an optional
+    precomputed (N, C) per-ray entry matrix (pair-path fallback) that
+    replaces the prelude's slab sweep."""
     n_cl = cluster8.shape[1]
     bt = tri_pack10.shape[1] // n_cl
     n = org.shape[0]
@@ -1053,6 +1074,8 @@ def _closest_fb_tcol(tri_pack10, pack16, cluster8, org, dirn, tmin, tmax,
             [org, dirn, tmin[:, None], tmax[:, None]], axis=1)[perm]
         org, dirn = ray_pack[:, 0:3], ray_pack[:, 3:6]
         tmin, tmax = ray_pack[:, 6], ray_pack[:, 7]
+        if ent is not None:
+            ent = ent[perm]
     bq = _pick_bq(bt)
     (org_p, dir_p, inv_p, tlim), _ = _pad_rays(
         [org, dirn, _inv_dir(dirn), jnp.stack([tmin, tmax], axis=1)], bq)
@@ -1060,12 +1083,18 @@ def _closest_fb_tcol(tri_pack10, pack16, cluster8, org, dirn, tmin, tmax,
         jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.float32),
         jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.int32),
     ]
-    n_sub = _pick_nsub(tri_pack10, bt)
-    sub8 = (_sub_aabbs(tri_pack10, n_tris) if n_sub > 1 else None)
-    order, count = _block_cluster_order(
-        org_p, dir_p, tlim[:, 0], tlim[:, 1], cluster8, bq,
-        sub8=sub8, n_sub=n_sub)
-    k_sub = n_sub if _submask_mode() else 1
+    if ent is not None:
+        ent_p = jnp.pad(ent, ((0, org_p.shape[0] - n), (0, 0)),
+                        constant_values=jnp.inf)
+        order, count = _block_order_from_entries(ent_p, bq, tlim[:, 1])
+        k_sub = 1
+    else:
+        n_sub = _pick_nsub(tri_pack10, bt)
+        sub8 = (_sub_aabbs(tri_pack10, n_tris) if n_sub > 1 else None)
+        order, count = _block_cluster_order(
+            org_p, dir_p, tlim[:, 0], tlim[:, 1], cluster8, bq,
+            sub8=sub8, n_sub=n_sub)
+        k_sub = n_sub if _submask_mode() else 1
     order, c128 = _order_groups(order)
     # count rides as a plain SMEM operand; order stays in HBM and
     # each block DMAs its own (C,) row into SMEM scratch in-kernel
@@ -1184,10 +1213,12 @@ SHADOW_KS = 24  # pair-path cap on per-ray listed clusters (shadow)
 
 
 def _shadow_fb_lg(tri_pack10, pack16s, cluster8, org, dirn, dist,
-                  n_tris: int, presorted: bool = False, dead=None):
+                  n_tris: int, presorted: bool = False, dead=None,
+                  ent=None):
     """Front-to-back streaming shadow sweep returning per-ray (N, 3)
     LOG transmission in ORIGINAL ray order.  `dead` rays sort to the
-    tail (empty lists)."""
+    tail (empty lists); `ent` is an optional precomputed per-ray entry
+    matrix replacing the prelude slab sweep (pair-path reuse)."""
     n_cl = cluster8.shape[1]
     bt = tri_pack10.shape[1] // n_cl
     n = org.shape[0]
@@ -1199,17 +1230,26 @@ def _shadow_fb_lg(tri_pack10, pack16s, cluster8, org, dirn, dist,
                                    axis=1)[perm]
         org, dirn, dist = (ray_pack[:, 0:3], ray_pack[:, 3:6],
                            ray_pack[:, 6])
+        if ent is not None:
+            ent = ent[perm]
     bq = _pick_bq(bt)
     (org_p, dir_p, inv_p, dist_p), _ = _pad_rays(
         [org, dirn, _inv_dir(dirn), dist[:, None]], bq)
     d = dist_p[:, 0]
-    n_sub = _pick_nsub(tri_pack10, bt)
-    sub8 = (_sub_aabbs(tri_pack10, n_tris) if n_sub > 1 else None)
-    order, count = _block_cluster_order(
-        org_p, dir_p, jnp.full_like(d, 5e-4),
-        d * (1.0 - 1e-4) - 5e-4, cluster8, bq,
-        sub8=sub8, n_sub=n_sub)
-    k_sub = n_sub if _submask_mode() else 1
+    if ent is not None:
+        ent_p = jnp.pad(ent, ((0, org_p.shape[0] - n), (0, 0)),
+                        constant_values=jnp.inf)
+        order, count = _block_order_from_entries(
+            ent_p, bq, d * (1.0 - 1e-4) - 5e-4)
+        k_sub = 1
+    else:
+        n_sub = _pick_nsub(tri_pack10, bt)
+        sub8 = (_sub_aabbs(tri_pack10, n_tris) if n_sub > 1 else None)
+        order, count = _block_cluster_order(
+            org_p, dir_p, jnp.full_like(d, 5e-4),
+            d * (1.0 - 1e-4) - 5e-4, cluster8, bq,
+            sub8=sub8, n_sub=n_sub)
+        k_sub = n_sub if _submask_mode() else 1
     order, c128 = _order_groups(order)
     qspec_fb = lambda c: pl.BlockSpec(
         (bq, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -1274,7 +1314,7 @@ def _shadow_transmission_pairs(tri_pack10, pack16s, cluster8, org, dirn,
     # negative dist makes an empty corridor -> log 0 -> transmission 1
     dist_fb = jnp.where(capable, -1.0, dist)
     lg_fb = _shadow_fb_lg(tri_pack10, pack16s, cluster8, org, dirn,
-                          dist_fb, n_tris, dead=capable)
+                          dist_fb, n_tris, dead=capable, ent=ent)
     return jnp.exp(lg_ray + lg_fb)
 
 
