@@ -316,7 +316,7 @@ def _sample_one_light(scene_arrays, static, li, ls, lrow, p, u1, u2):
 
 def _direct_lighting(scene_arrays, static, cfg, sp, row, wo, n_f,
                      s_idx, skey, bounce_dim, ns_scale=1,
-                     mis_with_bsdf=True):
+                     mis_with_bsdf=True, alive=None):
     """NEE with two-strategy MIS over all enabled lights (reference
     estimateAllDirectLight / estimateOneDirect).  Returns (L, n_shadow_rays).
     `bounce_dim` may be a traced dim base (dynamic inside the bounce scan).
@@ -352,7 +352,7 @@ def _direct_lighting(scene_arrays, static, cfg, sp, row, wo, n_f,
         skey_l = qmc.hash_combine(skey, jnp.uint32(0xABCD01 + 131 * li))
 
         def sample_terms(sub_idx, skey_v, p_, n_, ng_, row_, wo_, nf_,
-                         dim_u_=None, dim_v_=None):
+                         dim_u_=None, dim_v_=None, alive_=None):
             """NEE term(s) for lanes of any flat size (N or ns·N)."""
             from ..core.color import luminance as _lum
 
@@ -375,8 +375,12 @@ def _direct_lighting(scene_arrays, static, cfg, sp, row, wo, n_f,
             if ls.cast_shadows:
                 org_s = p_ + nf_ * jnp.sign(cos_i)[..., None] * \
                     static.shadow_bias
+                # dead wavefront lanes get a negative dist -> empty
+                # corridor: no shadow work (their term is masked anyway)
+                d_ = (smp["dist"] if alive_ is None
+                      else jnp.where(alive_, smp["dist"], -1.0))
                 tr = _shadow_transmission(scene_arrays, static, cfg, org_s,
-                                          smp["wi"], smp["dist"],
+                                          smp["wi"], d_,
                                           coherent=bool(ns_scale))
             else:
                 tr = jnp.ones_like(f)
@@ -393,7 +397,8 @@ def _direct_lighting(scene_arrays, static, cfg, sp, row, wo, n_f,
         n0 = sp["p"].shape[0]
         if ns == 1:
             accum, sh_acc = sample_terms(s_idx * ns, skey_l, sp["p"],
-                                         sp["n"], sp["ng"], row, wo, n_f)
+                                         sp["n"], sp["ng"], row, wo, n_f,
+                                         alive_=alive)
         elif ns * n0 <= 5_000_000:  # above: (ns·N, 3) temps OOM'd 16G HBM
             # BATCHED NEE: all ns light samples go through ONE
             # eval/shadow pass over ns·N flat lanes — the r2 scan paid
@@ -418,14 +423,16 @@ def _direct_lighting(scene_arrays, static, cfg, sp, row, wo, n_f,
             terms, sh = sample_terms(
                 sub_idx, tile(skey_l), tile(sp["p"]), tile(sp["n"]),
                 tile(sp["ng"]), row_f, tile(wo), tile(n_f),
-                dim_u_=du_t, dim_v_=dv_t)
+                dim_u_=du_t, dim_v_=dv_t,
+                alive_=None if alive is None else tile(alive))
             accum = jnp.sum(terms.reshape(ns, n0, 3), axis=0)
             sh_acc = jnp.sum(sh.reshape(ns, n0), axis=0)
         else:
             def body(carry, s):
                 ca, cs = carry
                 t, sh = sample_terms(s_idx * ns + s, skey_l, sp["p"],
-                                     sp["n"], sp["ng"], row, wo, n_f)
+                                     sp["n"], sp["ng"], row, wo, n_f,
+                                     alive_=alive)
                 return (ca + t, cs + sh), None
 
             (accum, sh_acc), _ = lax.scan(
@@ -440,7 +447,7 @@ def _direct_lighting(scene_arrays, static, cfg, sp, row, wo, n_f,
 
 
 def _ambient_occlusion(scene_arrays, static, cfg, sp, row, wo, n_f,
-                       s_idx, skey):
+                       s_idx, skey, alive=None):
     """sampleAmbientOcclusion parity (SURVEY §2.10).  All ao_samples
     occlusion rays go through ONE batched shadow pass (same fixed-cost
     argument as the batched NEE in _direct_lighting)."""
@@ -461,6 +468,8 @@ def _ambient_occlusion(scene_arrays, static, cfg, sp, row, wo, n_f,
     d, _ = sample_cos_hemisphere(nf_t, u1, u2)
     org_s = tile(sp["p"]) + nf_t * static.shadow_bias
     dist = jnp.full((ns * n0,), cfg.ao_distance, jnp.float32)
+    if alive is not None:  # dead lanes: empty corridor, no shadow work
+        dist = jnp.where(tile(alive), dist, -1.0)
     tr = _shadow_transmission(scene_arrays, static, cfg, org_s, d, dist)
     ao = jnp.sum(tr.reshape(ns, n0, 3), axis=0) * row["diffuse_color"]
     return ao * ao_col / ns
@@ -530,7 +539,9 @@ def make_sample_step(static, camera, cfg: RenderConfig,
 
         hit = _closest_hit(scene_arrays, static, org, dirn,
                            tmin=jnp.full((n,), static.ray_min_dist,
-                                         jnp.float32), coherent=first)
+                                         jnp.float32),
+                           tmax=jnp.where(alive, jnp.inf, -1.0),
+                           coherent=first)
         # ray-cone footprint at the hit (texture LOD; diffRay_t analog)
         fp = cone_w + cone_spread * jnp.where(hit.hit, hit.t, 0.0)
         seg = jnp.where(hit.hit, hit.t, 0.0)
@@ -669,7 +680,7 @@ def make_sample_step(static, camera, cfg: RenderConfig,
         Ld, sh_rays, shadow_mean = _direct_lighting(
             scene_arrays, static, cfg, sp_sh, row, wo, ng_sh,
             s_idx, skey_b, bounce_dim, 1 if first else 0,
-            mis_with_bsdf=(mode == "path"),
+            mis_with_bsdf=(mode == "path"), alive=alive,
         )
         if cfg.aa_clamp_indirect > 0.0 and not first:
             m = jnp.max(Ld, axis=-1, keepdims=True)
@@ -685,7 +696,8 @@ def make_sample_step(static, camera, cfg: RenderConfig,
             p in cfg.passes for p in ("ao", "ao-clay"))
         if (cfg.do_ao and mode == "direct" and first) or want_ao_pass:
             ao = _ambient_occlusion(scene_arrays, static, cfg, sp_sh,
-                                    row, wo, ng_sh, s_idx, skey_b)
+                                    row, wo, ng_sh, s_idx, skey_b,
+                                    alive=alive)
         if cfg.do_ao and mode == "direct" and first:
             L = L + jnp.where(alive[..., None], throughput * ao, 0.0)
 
