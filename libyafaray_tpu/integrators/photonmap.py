@@ -351,6 +351,7 @@ def make_photon_sample_step(cscene, cfg: RenderConfig, grids, mesh=None):
             Ld, sh_rays, _ = _direct_lighting(
                 arrays, static, cfg, sp_sh, row, hp_wo, hp_ng, s_idx,
                 hp_skey, hp_bdim.astype(jnp.int32), 1, mis_with_bsdf=False,
+                alive=stored,
             )
             L = L + jnp.where(m3, hp_tp * Ld, 0.0)
             nrays = nrays + sh_rays * jnp.sum(stored.astype(jnp.float32))

@@ -104,7 +104,7 @@ def make_eye_pass(cscene, cfg: RenderConfig):
             skey_b = qmc.hash_combine(pixel_hash, jnp.uint32(bounce))
             Ld, sh_rays, _ = _direct_lighting(arrays, static, cfg, sp_sh, row,
                                            wo, ng_sh, s_idx, skey_b, bdim, 1,
-                                           mis_with_bsdf=False)
+                                           mis_with_bsdf=False, alive=here)
             L = L + jnp.where(here[..., None], throughput * Ld, 0.0)
             nrays = nrays + sh_rays * jnp.sum(here.astype(jnp.float32))
 
