@@ -163,7 +163,8 @@ def make_photon_pass(static, cfg, n_lanes: int, max_bounces: int,
         for bounce in range(slots):
             hit = _closest_hit(arrays, static, org, dirn,
                                tmin=jnp.full((n,), static.ray_min_dist,
-                                             jnp.float32))
+                                             jnp.float32),
+                               tmax=jnp.where(alive, jnp.inf, -1.0))
             alive = alive & hit.hit
             sp = _surface_point(arrays, hit, org, dirn)
             wo = -dirn
