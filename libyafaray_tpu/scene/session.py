@@ -96,6 +96,11 @@ def render_scene(scene: Scene, progress_cb=None,
 
         return render_debug(cscene, cfg)
     if cfg.integrator == "bidirectional":
+        if cfg.bd_full_mis:
+            from ..integrators.veach import render_bdpt
+
+            return render_bdpt(cscene, cfg, progress_cb=progress_cb,
+                               film_path=film_path)
         from ..integrators.bidir import render_bidirectional
 
         # bidir light tracing is lane-compacted on one device; the eye

@@ -37,6 +37,9 @@ def _box_scene(integrator, extra_mats=()):
         "up": (0.0, -5.0, 2.2), "focal": 1.4}))
     s.create_integrator("default", ParamMap({
         "type": integrator, "bounces": 3, "raydepth": 4,
+        # pin the PARTITION variant (integrators/bidir.py) — the full
+        # (s,t)-MIS default is covered by tests/test_veach.py
+        "full_mis": False,
         "photons": 8192, "photon_bounces": 4}))
     s.render_params = ParamMap({
         "width": 32, "height": 32, "AA_minsamples": 8,
