@@ -3,10 +3,11 @@ channel naming (reference: exrHandler.cc writes all render passes into one
 multilayer EXR; SURVEY §2.12).
 
 Subset implemented:
-  * write: float32, compression NONE, channels named `layer.R/G/B`
-  * read:  float32/half/uint channels; compression NONE, RLE, ZIPS
-    (1-line zlib) and ZIP (16-line zlib) — i.e. everything commonly
-    produced by renderers/DCCs except the wavelet codecs (PIZ/B44/DWA).
+  * write: float32 (half for b44/b44a), compression NONE / ZIPS / PXR24 /
+    B44 / B44A / PIZ, channels named `layer.R/G/B`
+  * read:  float32/half/uint channels; compression NONE, RLE, ZIPS,
+    ZIP, PIZ, PXR24, B44 and B44A (io/exr_codecs.py) — everything the
+    scanline format allows except DWAA/DWAB.
 """
 from __future__ import annotations
 
@@ -67,10 +68,10 @@ def _rle_decode(raw: bytes, expect: int) -> bytes:
     return bytes(out)
 
 
-def _channel_list(names):
+def _channel_list(names, ptype=_PIXEL_FLOAT):
     out = b""
     for n in sorted(names):
-        out += n.encode() + b"\0" + struct.pack("<iiii", _PIXEL_FLOAT, 0, 1, 1)
+        out += n.encode() + b"\0" + struct.pack("<iiii", ptype, 0, 1, 1)
     return out + b"\0"
 
 
@@ -81,7 +82,11 @@ def write_exr(path: str, img: np.ndarray, compression: str = "zips"):
 
 def write_exr_multilayer(path: str, layers: dict,
                          compression: str = "zips"):
-    comp_id = {"none": 0, "zips": 2}[compression]
+    comp_id = {"none": 0, "zips": 2, "piz": 4, "pxr24": 5,
+               "b44": 6, "b44a": 7}[compression]
+    # b44 compresses HALF data only — write half channels for it
+    half = comp_id in (6, 7)
+    ptype = 1 if half else _PIXEL_FLOAT
     h, w = next(iter(layers.values())).shape[:2]
     chan_names = []
     chan_data = {}
@@ -94,7 +99,8 @@ def write_exr_multilayer(path: str, layers: dict,
             chan_data[full] = arr[..., ci] if arr.ndim == 3 else arr
 
     header = b""
-    header += _attr(b"channels", b"chlist", _channel_list(chan_names))
+    header += _attr(b"channels", b"chlist", _channel_list(chan_names,
+                                                          ptype))
     header += _attr(b"compression", b"compression", bytes([comp_id]))
     header += _attr(b"dataWindow", b"box2i",
                     struct.pack("<iiii", 0, 0, w - 1, h - 1))
@@ -108,11 +114,39 @@ def write_exr_multilayer(path: str, layers: dict,
     header += b"\0"  # end of header
 
     sorted_names = sorted(chan_names)
-    # build per-scanline chunks (ZIPS = 1 line per chunk; raw kept when
-    # zlib doesn't shrink, per the EXR spec)
+    lines_per_chunk = {0: 1, 2: 1, 4: 32, 5: 16, 6: 32, 7: 32}[comp_id]
+    ptypes = {cn: ptype for cn in sorted_names}
     chunks = []
-    for y in range(h):
+    for y0 in range(0, h, lines_per_chunk):
+        nl = min(lines_per_chunk, h - y0)
+        if comp_id in (6, 7):  # B44/B44A: per-channel half planes
+            from .exr_codecs import b44_compress_chunk
+
+            planes = [(cn, np.asarray(chan_data[cn][y0:y0 + nl],
+                                      np.float32).astype("<f2")
+                       .view(np.uint16))
+                      for cn in sorted_names]
+            chunks.append(b44_compress_chunk(planes, ptypes,
+                                             flat_ok=(comp_id == 7)))
+            continue
+        if comp_id == 5:  # PXR24
+            from .exr_codecs import pxr24_compress_chunk
+
+            chan_lines = [(cn, np.asarray(chan_data[cn][y], "<f4"))
+                          for y in range(y0, y0 + nl)
+                          for cn in sorted_names]
+            chunks.append(pxr24_compress_chunk(chan_lines, ptypes))
+            continue
+        if comp_id == 4:  # PIZ
+            from .exr_codecs import piz_compress_chunk
+
+            planes = [(cn, np.asarray(chan_data[cn][y0:y0 + nl], "<f4")
+                       .view(np.uint32))
+                      for cn in sorted_names]
+            chunks.append(piz_compress_chunk(planes, ptypes))
+            continue
         raw = b"".join(chan_data[cn][y].astype("<f4").tobytes()
+                       for y in range(y0, y0 + nl)
                        for cn in sorted_names)
         if comp_id == 2:
             z = zlib.compress(_filter(raw))
@@ -124,15 +158,15 @@ def write_exr_multilayer(path: str, layers: dict,
         f.write(struct.pack("<I", 2))  # version 2, single part scanline
         f.write(header)
         offset_table_pos = f.tell()
-        data_start = offset_table_pos + 8 * h
+        data_start = offset_table_pos + 8 * len(chunks)
         offsets = []
         off = data_start
         for c in chunks:
             offsets.append(off)
             off += 8 + len(c)
-        f.write(struct.pack(f"<{h}Q", *offsets))
-        for y, c in enumerate(chunks):
-            f.write(struct.pack("<ii", y, len(c)))
+        f.write(struct.pack(f"<{len(chunks)}Q", *offsets))
+        for ci, c in enumerate(chunks):
+            f.write(struct.pack("<ii", ci * lines_per_chunk, len(c)))
             f.write(c)
 
 
@@ -178,10 +212,11 @@ def read_exr_multilayer(path: str) -> dict:
         elif name == "compression":
             compression = payload[0]
     pos += 1  # header terminator
-    lines_per_chunk = {0: 1, 1: 1, 2: 1, 3: 16}.get(compression)
+    lines_per_chunk = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16,
+                       6: 32, 7: 32}.get(compression)
     if lines_per_chunk is None:
         raise NotImplementedError(
-            f"EXR compression type {compression} (PIZ/B44/DWA) not "
+            f"EXR compression type {compression} (DWAA/DWAB) not "
             "supported by the in-repo codec")
     n_chunks = -(-h // lines_per_chunk)
     offsets = struct.unpack_from(f"<{n_chunks}Q", data, pos)
@@ -201,8 +236,20 @@ def read_exr_multilayer(path: str) -> dict:
             chunk = raw  # NONE, or stored raw (didn't compress smaller)
         elif compression in (2, 3):  # ZIPS / ZIP
             chunk = _unfilter(zlib.decompress(raw))
-        else:  # RLE
+        elif compression == 1:  # RLE
             chunk = _unfilter(_rle_decode(raw, expect))
+        elif compression == 4:  # PIZ
+            from .exr_codecs import piz_decompress_chunk
+
+            chunk = piz_decompress_chunk(raw, chans, ptypes, w, n_lines)
+        elif compression == 5:  # PXR24
+            from .exr_codecs import pxr24_decompress_chunk
+
+            chunk = pxr24_decompress_chunk(raw, chans, ptypes, w, n_lines)
+        else:  # B44 / B44A
+            from .exr_codecs import b44_decompress_chunk
+
+            chunk = b44_decompress_chunk(raw, chans, ptypes, w, n_lines)
         p = 0
         for ly in range(n_lines):
             for c in chans:

@@ -123,3 +123,80 @@ def test_exr_zip16_read(tmp_path):
     back = read_exr_multilayer(p)
     # single unnamed layer with R, G, B stacked in RGB order
     assert np.array_equal(back[""], img)
+
+
+def test_exr_piz_roundtrip(tmp_path):
+    """PIZ (bitmap+LUT, wav2, canonical Huffman): LOSSLESS for float32 —
+    the wavelet/Huffman stages are exact on the 16-bit planes."""
+    rng = np.random.default_rng(7)
+    img = (rng.random((37, 23, 3)) * 4).astype(np.float32)
+    p = str(tmp_path / "p.exr")
+    write_exr(p, img, compression="piz")
+    back = read_exr(p)
+    assert (back == img).all()
+
+
+def test_exr_piz_multilayer(tmp_path):
+    rng = np.random.default_rng(8)
+    layers = {"": rng.random((33, 15, 3)).astype(np.float32),
+              "depth": rng.random((33, 15, 3)).astype(np.float32) * 100}
+    p = str(tmp_path / "ml.exr")
+    write_exr_multilayer(p, layers, compression="piz")
+    back = read_exr_multilayer(p)
+    for k, v in layers.items():
+        assert (back[k] == v).all(), k
+
+
+def test_exr_pxr24_roundtrip(tmp_path):
+    """PXR24: float rounded to 24 bits (8 mantissa LSBs dropped)."""
+    rng = np.random.default_rng(9)
+    img = (rng.random((21, 19, 3)) * 4).astype(np.float32)
+    p = str(tmp_path / "x.exr")
+    write_exr(p, img, compression="pxr24")
+    back = read_exr(p)
+    assert np.abs(back - img).max() <= img.max() * 2.0 ** -15
+
+
+def test_exr_b44_roundtrip(tmp_path):
+    """B44/B44A are half + lossy block deltas: on smooth data the error
+    must hit the pure float16 floor; flat blocks are exact (and B44A
+    stores them in 3 bytes — file must shrink)."""
+    y, x = np.mgrid[0:37, 0:23].astype(np.float32)
+    img = np.stack([0.5 + 0.3 * np.sin(x / 10), 1.5 + y / 40,
+                    2.0 + (x + y) / 60], -1).astype(np.float32)
+    half_floor = np.abs(img.astype(np.float16).astype(np.float32)
+                        - img).max()
+    for comp in ("b44", "b44a"):
+        p = str(tmp_path / f"{comp}.exr")
+        write_exr(p, img, compression=comp)
+        back = read_exr(p)
+        assert np.abs(back - img).max() <= half_floor + 1e-7, comp
+    flat = np.full((16, 16, 3), 1.25, np.float32)
+    pa = str(tmp_path / "fa.exr")
+    pb = str(tmp_path / "fb.exr")
+    write_exr(pa, flat, compression="b44a")
+    write_exr(pb, flat, compression="b44")
+    assert (read_exr(pa) == flat).all()
+    import os
+    assert os.path.getsize(pa) < os.path.getsize(pb)
+
+
+def test_exr_wav2_huf_units():
+    """wav2 and the native Huffman coder are exact inverses on odd
+    shapes and both bit-width modes (PIZ building blocks)."""
+    from libyafaray_tpu.io.exr_codecs import (_huf_compress,
+                                              _huf_decompress, wav2_decode,
+                                              wav2_encode)
+
+    rng = np.random.default_rng(3)
+    for shape in ((31, 17), (1, 9), (9, 1), (5, 5), (4, 8)):
+        for mx in (100, 60000):
+            a = rng.integers(0, min(mx + 1, 60000),
+                             shape).astype(np.uint16)
+            b = a.copy()
+            wav2_encode(b, mx)
+            wav2_decode(b, mx)
+            assert (b == a).all(), (shape, mx)
+    for n, hi in ((1000, 40), (50000, 5000), (3, 1), (1, 1)):
+        d = rng.integers(0, hi, n).astype(np.uint16)
+        assert (_huf_decompress(_huf_compress(d), n) == d).all()
