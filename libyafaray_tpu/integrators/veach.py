@@ -915,6 +915,33 @@ def make_bdpt_step(cscene, cfg: RenderConfig):
                               flags.astype(jnp.float32), cfg.filter_type,
                               cfg.aa_pixelwidth,
                               clamp_samples=cfg.aa_clamp_samples)
+        # first-hit AOV planes (z/normal/uv/... parity with the engine;
+        # per-sample means, normalized by nsamples at flush)
+        z1 = Ev[0]
+        hitm = z1["valid"]
+        aux = dict(
+            z=jnp.where(hitm, z1["sp"]["t"], 0.0),
+            normal=jnp.where(hitm[..., None], z1["n"], 0.0),
+            geo_normal=jnp.where(hitm[..., None], z1["ng"], 0.0),
+            uv=jnp.where(hitm[..., None], z1["sp"]["uv"], 0.0),
+            mat_index=z1["sp"]["mat"].astype(jnp.float32) * hitm,
+            obj_index=z1["sp"]["tri"].astype(jnp.float32) * hitm,
+            diffuse_color=jnp.where(hitm[..., None],
+                                    z1["row"]["diffuse_color"], 0.0),
+        )
+        act = flags.astype(jnp.float32).reshape(-1)
+        act = jnp.tile(act, spb)
+        for key in film:
+            if not key.startswith("aov_"):
+                continue
+            val = aux.get(key[4:])
+            if val is None:
+                continue
+            if val.ndim == 1:
+                val = val[..., None]
+            contrib = (val * act[..., None]).reshape(
+                spb, h, w, val.shape[-1]).sum(axis=0)
+            film[key] = film[key] + contrib
         rays = jnp.sum(alive_e.astype(jnp.float32)) * (
             T_MAX + S_MAX + n_shadow * 0)
         film = dict(film, rays=film.get("rays", 0.0) + rays)
@@ -942,6 +969,10 @@ def render_bdpt(cscene, cfg: RenderConfig, progress_cb=None,
 
     film = film_init(h, w)
     film["rays"] = jnp.zeros((), jnp.float32)
+    if cfg.passes:
+        from ..film.passes import film_add_passes
+
+        film = film_add_passes(film, h, w, cfg.passes)
     flags = jnp.ones((h, w), jnp.bool_)
     splat = jnp.zeros((h, w, 3), jnp.float32)
     n_steps = max(1, cfg.aa_samples * cfg.aa_passes)

@@ -104,3 +104,16 @@ def test_veach_point_light():
     assert np.isfinite(img_bd).all()
     m_bd, m_pt = float(img_bd.mean()), float(img_pt.mean())
     assert abs(m_bd - m_pt) / max(m_pt, 1e-6) < 0.06, (m_bd, m_pt)
+
+
+def test_veach_first_hit_aovs():
+    """BDPT renders fill the first-hit AOV planes (z/normal) like the
+    engine integrators do."""
+    from libyafaray_tpu.scene.session import render_scene
+
+    s = _scene("bidirectional", res=16, spp=2)
+    s.render_params["render_passes"] = "z-depth-norm normal-smooth"
+    res = render_scene(s)
+    p = res.passes
+    assert float(np.abs(p["z-depth-norm"]).mean()) > 0.0
+    assert float(np.abs(p["normal-smooth"]).mean()) > 0.0
