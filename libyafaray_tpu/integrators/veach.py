@@ -313,7 +313,7 @@ def make_bdpt_step(cscene, cfg: RenderConfig):
     S_MAX = max(1, min(cfg.raydepth, 6))
     max_verts = cfg.raydepth + 2  # s + t cap (t counts the camera vertex)
 
-    cdf, total_flux = _light_cdf(static, arrays=device_put_scene(cscene))
+    cdf, total_flux = _light_cdf(static, arrays=cscene.arrays)
     pick_pmf = np.diff(cdf).astype(np.float32)
     pick_pmf_j = jnp.asarray(pick_pmf)
     cdf_j = jnp.asarray(cdf)
@@ -958,14 +958,18 @@ def d2v(dist):
 
 
 def render_bdpt(cscene, cfg: RenderConfig, progress_cb=None,
-                film_path: str | None = None):
+                film_path: str | None = None, mesh=None):
     """Full-MIS BDPT render loop (one eye + one light subpath per pixel
     sample per step).  t=1 splats accumulate in the film density layer,
-    normalized by the light-paths-per-pixel count."""
-    arrays = device_put_scene(cscene)
+    normalized by the light-paths-per-pixel count.
+
+    mesh: optional jax.sharding.Mesh — film rows (and with them the
+    eye/light lane wavefronts) shard across devices like the engine
+    integrators; the t=1 splat plane is produced replicated (GSPMD
+    reduces the per-device scatter contributions)."""
     h, w = cfg.height, cfg.width
     t0 = time.perf_counter()
-    step = jax.jit(make_bdpt_step(cscene, cfg), donate_argnums=(1,))
+    step_fn = make_bdpt_step(cscene, cfg)
 
     film = film_init(h, w)
     film["rays"] = jnp.zeros((), jnp.float32)
@@ -974,6 +978,27 @@ def render_bdpt(cscene, cfg: RenderConfig, progress_cb=None,
 
         film = film_add_passes(film, h, w, cfg.passes)
     flags = jnp.ones((h, w), jnp.bool_)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import film_shardings_for
+
+        axis = mesh.axis_names[0]
+        film_sh = film_shardings_for(film, mesh, axis)
+        film = {k: jax.device_put(v, film_sh[k]) for k, v in film.items()}
+        flags_sh = NamedSharding(mesh, P(axis, None))
+        flags = jax.device_put(flags, flags_sh)
+        repl = NamedSharding(mesh, P())
+        arrays = jax.device_put(cscene.arrays, repl)
+        step = jax.jit(step_fn,
+                       in_shardings=(repl, film_sh, flags_sh),
+                       out_shardings=(film_sh, repl),
+                       donate_argnums=(1,))
+        log.info("multi-chip BDPT: %d devices, film rows sharded",
+                 mesh.devices.size)
+    else:
+        arrays = device_put_scene(cscene)
+        step = jax.jit(step_fn, donate_argnums=(1,))
     splat = jnp.zeros((h, w, 3), jnp.float32)
     n_steps = max(1, cfg.aa_samples * cfg.aa_passes)
     spb = max(1, cfg.spp_batch)

@@ -100,7 +100,7 @@ def render_scene(scene: Scene, progress_cb=None,
             from ..integrators.veach import render_bdpt
 
             return render_bdpt(cscene, cfg, progress_cb=progress_cb,
-                               film_path=film_path)
+                               film_path=film_path, mesh=mesh)
         from ..integrators.bidir import render_bidirectional
 
         # bidir light tracing is lane-compacted on one device; the eye

@@ -68,6 +68,9 @@ _FAST = ((r'<AA_minsamples ival="\d+"/>', '<AA_minsamples ival="4"/>'),
         (r'<passNums ival="\d+"/>', '<passNums ival="2"/>'),
         (r'<search ival="\d+"/>', '<search ival="16"/>'))),
     ("ibl_spheres.xml", _FAST),
+    # not a BASELINE config, but the full-MIS BDPT (r3) deserves the
+    # same CLI plumbing gate as the engine integrators
+    ("cornell_bidir.xml", _FAST),
 ])
 @pytest.mark.slow
 def test_cli_baseline_config(tmp_path, scene, subs):

@@ -117,3 +117,21 @@ def test_veach_first_hit_aovs():
     p = res.passes
     assert float(np.abs(p["z-depth-norm"]).mean()) > 0.0
     assert float(np.abs(p["normal-smooth"]).mean()) > 0.0
+
+
+def test_veach_multidevice_equals_single_device():
+    """BDPT on the 8-device film-row mesh must reproduce the
+    single-device image (same wiring criterion the engine integrators
+    meet; the t=1 splat plane is GSPMD-reduced to a replicated output,
+    so only float reduction order may differ)."""
+    from libyafaray_tpu.integrators.veach import render_bdpt
+    from libyafaray_tpu.parallel.mesh import make_device_mesh
+    from libyafaray_tpu.scene.session import build_config
+
+    s = _scene("bidirectional", res=16, spp=2)
+    cfg = build_config(s)
+    cs = s.compile()
+    img1 = render_bdpt(cs, cfg).image
+    mesh = make_device_mesh(8)
+    img8 = render_bdpt(cs, cfg, mesh=mesh).image
+    assert np.abs(img8 - img1).max() <= 1e-4, np.abs(img8 - img1).max()
