@@ -757,6 +757,53 @@ def make_bdpt_step(cscene, cfg: RenderConfig):
                 L = L + jnp.where(pot[..., None],
                                   contrib * tr * wmis[..., None], 0.0)
 
+        # ---------------- eye-only lights (weight-1 NEE) ---------------
+        # sun/directional/IES (and any zero-flux emitter) are outside
+        # the BDPT strategy set: light subpaths never start from them
+        # (zero pick pmf) and they cannot be hit, so a single-strategy
+        # NEE at every eye vertex is their unique, weight-1 estimator
+        # (background/portal families ride the escape term instead).
+        from .engine import _sample_one_light
+
+        eye_only = [
+            (li, ls) for li, ls in enumerate(static.lights)
+            if ls.enabled
+            and ls.ltype not in (lightmod.LT_BACKGROUND,
+                                 lightmod.LT_PORTAL)
+            and (ls.ltype not in _BD_LIGHT_TYPES
+                 or pick_pmf[li] <= 0.0)]
+        for li, ls in eye_only:
+            lrow = lightmod.light_row(arrays["lights"], li)
+            for t in range(2, T_MAX + 2):
+                if 1 + t > max_verts:
+                    break
+                zv = Ev[t - 2]
+                sk = qmc.hash_combine(skey_step,
+                                      jnp.uint32(0xE0E0 + 31 * li + t))
+                u1 = qmc.sample_dim(zeros_u, 0, sk)
+                u2 = qmc.sample_dim(zeros_u, 1, sk)
+                smp = _sample_one_light(arrays, static, li, ls, lrow,
+                                        zv["p"], u1, u2)
+                cos_z = vmath.dot(zv["n"], smp["wi"])
+                f_z = blendmod.eval_bsdf(arrays["materials"], zv["row"],
+                                         zv["n"], zv["ng"], zv["wo"],
+                                         smp["wi"], static.has_blend,
+                                         families=static.mat_families)
+                term = (zv["beta"] * f_z * smp["li"]
+                        * (jnp.abs(cos_z)
+                           / jnp.maximum(smp["pdf"], 1e-9))[..., None])
+                pot = (zv["valid"] & smp["valid"] & (smp["pdf"] > 1e-9)
+                       & (jnp.max(term, axis=-1) > 0.0))
+                if ls.cast_shadows:
+                    org_s = zv["p"] + zv["ng"] * jnp.sign(
+                        cos_z)[..., None] * static.shadow_bias
+                    tr = _shadow_transmission(
+                        arrays, static, cfg, org_s, smp["wi"],
+                        jnp.where(pot, smp["dist"], -1.0))
+                    n_shadow += 1
+                    term = term * tr
+                L = L + jnp.where(pot[..., None], term, 0.0)
+
         # ---------------- s >= 2, t >= 2: inner connections ------------
         for s in range(2, S_MAX + 1):
             if not has_any_bd_light or s > len(Lv):

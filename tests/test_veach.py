@@ -13,16 +13,22 @@ from libyafaray_tpu.scene.scene import Scene
 
 
 def _scene(integrator, extra_mats=(), sphere_mat=None, full_mis=True,
-           power=8.0, res=32, spp=8):
+           power=8.0, res=32, spp=8, lights=None):
+    """lights: None -> the default area light; otherwise a list of
+    (name, params) created INSTEAD (never clear s.lights after creation —
+    an area light's synthetic panel tris would stay behind, orphaned)."""
     s = Scene()
     s.create_material("white", ParamMap({
         "type": "shinydiffusemat", "color": (0.7, 0.7, 0.7)}))
     for name, params in extra_mats:
         s.create_material(name, ParamMap(params))
-    s.create_light("L", ParamMap({
-        "type": "arealight", "corner": (-0.4, -0.4, 1.98),
-        "point1": (-0.4, 0.4, 1.98), "point2": (0.4, -0.4, 1.98),
-        "power": power, "color": (1.0, 1.0, 1.0), "samples": 4}))
+    if lights is None:
+        lights = [("L", {
+            "type": "arealight", "corner": (-0.4, -0.4, 1.98),
+            "point1": (-0.4, 0.4, 1.98), "point2": (0.4, -0.4, 1.98),
+            "power": power, "color": (1.0, 1.0, 1.0), "samples": 4})]
+    for lname, lparams in lights:
+        s.create_light(lname, ParamMap(lparams))
     m = s.start_tri_mesh()
     for (x, y, z) in ((-2, -2, 0), (2, -2, 0), (2, 2, 0), (-2, 2, 0),
                       (-2, 2, 0), (2, 2, 0), (2, 2, 3), (-2, 2, 3)):
@@ -91,13 +97,9 @@ def test_veach_point_light():
     from libyafaray_tpu.scene.session import render_scene
 
     def mk(integrator):
-        s = _scene(integrator, spp=16)
-        # replace the area light with a point light
-        s.lights.clear()
-        s.create_light("P", ParamMap({
+        return _scene(integrator, spp=16, lights=[("P", {
             "type": "pointlight", "from": (0.0, 0.0, 1.9),
-            "power": 6.0, "color": (1.0, 1.0, 1.0)}))
-        return s
+            "power": 6.0, "color": (1.0, 1.0, 1.0)})])
 
     img_bd = render_scene(mk("bidirectional")).image
     img_pt = render_scene(mk("pathtracing")).image
@@ -135,3 +137,24 @@ def test_veach_multidevice_equals_single_device():
     mesh = make_device_mesh(8)
     img8 = render_bdpt(cs, cfg, mesh=mesh).image
     assert np.abs(img8 - img1).max() <= 1e-4, np.abs(img8 - img1).max()
+
+
+def test_veach_sun_directional_lights():
+    """Lights outside the BDPT strategy set (sun/directional: zero pick
+    pmf, not hittable) must still illuminate via the weight-1 eye-side
+    NEE — they rendered black before the eye-only pass existed."""
+    from libyafaray_tpu.scene.session import render_scene
+
+    def mk(integrator):
+        # `direction` points TOWARD the emitter (reference convention)
+        return _scene(integrator, res=16, spp=4, lights=[
+            ("S", {"type": "sunlight", "direction": (0.3, 0.3, 1.0),
+                   "power": 2.0, "color": (1.0, 1.0, 1.0), "angle": 0.5}),
+            ("D", {"type": "directional", "direction": (-0.2, 0.1, 1.0),
+                   "power": 1.0, "color": (1.0, 0.9, 0.8)})])
+
+    img_bd = render_scene(mk("bidirectional")).image
+    img_pt = render_scene(mk("pathtracing")).image
+    m_bd, m_pt = float(img_bd.mean()), float(img_pt.mean())
+    assert m_bd > 1e-3, "sun/directional render black under BDPT"
+    assert abs(m_bd - m_pt) / max(m_pt, 1e-6) < 0.08, (m_bd, m_pt)
