@@ -1,6 +1,7 @@
-"""Benchmark all five reference configs on the TPU (BASELINE.md).
-Writes BENCH_ALL.md with wall times + throughput. Run:
-    python scripts/bench_all.py [--quick]
+"""Benchmark the reference configs on the TPU (BASELINE.md).
+Writes BENCH_ALL_raw.json with wall times + throughput (BENCH_ALL.md is
+hand-curated from it). Run:
+    python scripts/bench_all.py [--quick] [--only name1,name2]
 """
 from __future__ import annotations
 
@@ -18,12 +19,16 @@ CONFIGS = [
     ("photonmapping",  "scenes/cornell_photon.xml", {}),
     ("SPPM",           "scenes/cornell_sppm.xml", {}),
     ("environment/IBL", "scenes/ibl_spheres.xml", {}),
+    ("bidirectional",  "scenes/cornell_bidir.xml", {}),
 ]
 
 
 def main():
     quick = "--quick" in sys.argv
     size = 256 if quick else 512
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     import jax
 
     from libyafaray_tpu.scene.xml_parser import parse_xml_file
@@ -31,6 +36,8 @@ def main():
 
     rows = []
     for name, scene_path, over in CONFIGS:
+        if only is not None and not any(o in name for o in only):
+            continue
         scene = parse_xml_file(os.path.join(_REPO, scene_path))
         scene.render_params["width"] = size
         scene.render_params["height"] = size
@@ -51,18 +58,15 @@ def main():
         ))
         print(json.dumps(rows[-1]), flush=True)
 
-    with open(os.path.join(_REPO, "BENCH_ALL.md"), "w") as f:
-        f.write("# All-config TPU benchmark (device: %s)\n\n"
-                % jax.devices()[0])
-        f.write("| config | scene | res | wall s | render s | Mrays/s |"
-                " mean |\n|---|---|---|---|---|---|---|\n")
-        for r in rows:
-            f.write(f"| {r['config']} | {r['scene']} | {r['size']}² "
-                    f"| {r['wall_s']} | {r['render_s']} "
-                    f"| {r['mrays_per_s']} | {r['mean']:.4f} |\n")
-        f.write("\nwall includes scene compile + jit compile; render_s is "
-                "the pass loop (first pass includes jit).\n")
-    print("wrote BENCH_ALL.md")
+    out = os.path.join(_REPO, "BENCH_ALL_raw.json")
+    existing = []
+    if os.path.exists(out):
+        with open(out) as f:
+            existing = json.load(f)
+    existing.append(dict(device=str(jax.devices()[0]), rows=rows))
+    with open(out, "w") as f:
+        json.dump(existing, f, indent=1)
+    print("appended to BENCH_ALL_raw.json")
 
 
 if __name__ == "__main__":
