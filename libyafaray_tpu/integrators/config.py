@@ -81,6 +81,12 @@ class RenderConfig:
     # output
     color_space: str = "sRGB"
     gamma: float = 1.0
+    # output-stage denoise (reference v3 imageHandler CImg NLM knobs,
+    # SURVEY §2.12 [L]; film/denoise.py jitted non-local means)
+    denoise: bool = False
+    denoise_h_lum: float = 5.0
+    denoise_h_col: float = 5.0
+    denoise_mix: float = 0.8
     z_channel: bool = False
     passes: tuple = ()  # render pass names (film/passes.py)
     # film persistence
@@ -164,6 +170,11 @@ def config_from_params(render: ParamMap, integ: ParamMap,
         vol_optimize=vol.get_bool("optimize", False),
         color_space=render.get_str("color_space", "sRGB"),
         gamma=render.get_float("gamma", 1.0),
+        denoise=render.get_bool("denoiseEnabled",
+                                render.get_bool("denoise", False)),
+        denoise_h_lum=render.get_float("denoiseHLum", 5.0),
+        denoise_h_col=render.get_float("denoiseHCol", 5.0),
+        denoise_mix=render.get_float("denoiseMix", 0.8),
         z_channel=render.get_bool("z_channel", False),
         passes=_collect_passes(render),
         film_save_load=render.get_str("film_save_load", "none"),
