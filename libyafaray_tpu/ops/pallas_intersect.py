@@ -762,6 +762,16 @@ def _ray_sort_perm(org, dirn, dead=None):
 # dense blocks) guarantees exactness whatever the caps.  Role:
 # src/yafraycore/kdtree.cc [H] per-ray traversal order + early
 # termination (SURVEY §2.3), recast as static-shape wavefront rounds.
+#
+# MEASURED RESULT (scripts/bench_pairs.py on the real v5e chip,
+# BENCH_ALL.md r3 table): the pair path LOSES to the block sweep on
+# every case — 0.14-0.17x closest, 0.04-0.46x shadow on the 131K soup.
+# The 3.7x list-length saving is swamped by the pair machinery (pair
+# expansion + cluster-major regroup + 128-slot tiles that re-DMA each
+# cluster once per touching pair block, where the block sweep's 128-ray
+# blocks amortize one tile DMA over BQ rays).  Default OFF
+# (LIBYAF_PAIRS=1 re-enables for experiments); kept as the measured
+# negative result that bounds what per-ray list granularity buys here.
 
 PAIR_K1 = 4    # round-1 nearest clusters per ray
 PAIR_K2 = 16   # round-2 cap (leftovers -> exact fallback pass)
@@ -772,7 +782,7 @@ PAIRS_MIN_CLUSTERS = 64  # below this, block unions are already tight
 def _pairs_mode() -> bool:
     import os
 
-    return os.environ.get("LIBYAF_PAIRS", "1") == "1"
+    return os.environ.get("LIBYAF_PAIRS", "0") == "1"
 
 
 def _ray_cluster_entries(org, dirn, tmin, tmax, cluster8, sub8=None,

@@ -84,11 +84,12 @@ def main():
         rng = np.random.default_rng(9)
         filt = (rng.random((n_tris, 3))
                 * (rng.random((n_tris, 1)) > 0.5)).astype(np.float32)
-        filt4 = jnp.asarray(np.concatenate(
-            [filt[s_ord].T, np.zeros((1, n_tris), np.float32)]))
-        logf4 = jnp.maximum(jnp.log(jnp.maximum(
-            jnp.pad(filt4, ((0, 0), (0, pack.shape[1] - n_tris)),
-                    constant_values=1.0), 1e-35)), -80.0)
+        tp = pack.shape[1]  # s_ord is padded to the bt multiple
+        real = (np.arange(tp) < n_tris)[None, :]
+        fcols = np.where(real, filt[s_ord].T, 1.0).astype(np.float32)
+        filt4 = jnp.asarray(
+            np.concatenate([fcols, np.zeros((1, tp), np.float32)]))
+        logf4 = jnp.maximum(jnp.log(jnp.maximum(filt4, 1e-35)), -80.0)
         pack16s = jnp.concatenate(
             [pack, logf4[:3], jnp.zeros((3, pack.shape[1]), jnp.float32)],
             axis=0)
