@@ -39,6 +39,8 @@ PASS_SOURCES = {
     "refract": ("refract", 3),
     "debug-nu": ("nu", 3),
     "debug-nv": ("nv", 3),
+    "debug-dpdu": ("dpdu", 3),
+    "debug-dpdv": ("dpdv", 3),
 }
 
 # post-processed passes computed from other planes at flush (reference's

@@ -834,6 +834,12 @@ def make_sample_step(static, camera, cfg: RenderConfig,
                 # DebugIntegrator dPdU/dPdV role; ONB stand-in)
                 nu=jnp.where(hit.hit[..., None], tu_dbg, 0.0),
                 nv=jnp.where(hit.hit[..., None], tv_dbg, 0.0),
+                # raw uv-parameterization derivatives (reference
+                # renderpasses dPdU/dPdV debug passes), display-normalized
+                dpdu=jnp.where(hit.hit[..., None],
+                               vmath.normalize(sp["dpdu"]), 0.0),
+                dpdv=jnp.where(hit.hit[..., None],
+                               vmath.normalize(sp["dpdv"]), 0.0),
             )
             if ao is not None:
                 aux["ao"] = jnp.where(alive[..., None], ao, 0.0)

@@ -13,7 +13,8 @@ ALL_PASSES = (
     "uv", "mat-index-abs", "mat-index-norm", "mat-index-auto",
     "mat-index-mask", "obj-index-abs", "obj-index-auto", "diffuse-color",
     "emit", "direct", "ao", "ao-clay", "shadow", "reflect", "refract",
-    "debug-nu", "debug-nv", "edge", "toon", "indirect", "diffuse-indirect",
+    "debug-nu", "debug-nv", "debug-dpdu", "debug-dpdv",
+    "edge", "toon", "indirect", "diffuse-indirect",
 )
 
 
@@ -72,6 +73,15 @@ def test_pass_semantics(cornell_passes):
     hit = planes["z-depth-abs"][..., 0] > 0
     assert (nlen[hit] <= 1.0 + 1e-3).all()
     assert np.median(nlen[hit]) > 0.99
+    # dPdU/dPdV: display-normalized derivatives, unit where hit and the
+    # uv parameterization exists; dPdU ⟂-ish dPdV on the box quads
+    du = planes["debug-dpdu"]
+    dv = planes["debug-dpdv"]
+    dul = np.linalg.norm(du, axis=-1)
+    assert (dul[hit] <= 1.0 + 1e-3).all()
+    assert np.median(dul[hit]) > 0.99
+    dot = np.abs((du * dv).sum(axis=-1))
+    assert np.median(dot[hit]) < 0.1
 
 
 def test_reflect_pass_sees_mirror_bounce():
