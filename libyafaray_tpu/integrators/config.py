@@ -36,6 +36,10 @@ class RenderConfig:
     aa_indirect_sample_multiplier_factor: float = 1.0
     light_ns_mult: float = 1.0     # internal: current pass multiplier
     indirect_ns_mult: float = 1.0  # internal: current pass multiplier
+    # global sampler decorrelation seed (XORed into the per-pixel Owen
+    # scramble key) — independent renders of the same scene; used by
+    # scripts/bench_time_to_rmse.py for an uncorrelated golden
+    qmc_seed: int = 0
     # integrator selection + shared
     integrator: str = "directlighting"
     raydepth: int = 5
@@ -134,6 +138,7 @@ def config_from_params(render: ParamMap, integ: ParamMap,
             "AA_light_sample_multiplier_factor", 1.0),
         aa_indirect_sample_multiplier_factor=render.get_float(
             "AA_indirect_sample_multiplier_factor", 1.0),
+        qmc_seed=render.get_int("qmc_seed", 0),
         integrator=itype,
         raydepth=integ.get_int("raydepth", 5),
         shadow_depth=integ.get_int("shadowDepth", 5),

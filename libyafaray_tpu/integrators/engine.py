@@ -516,7 +516,8 @@ def make_sample_step(static, camera, cfg: RenderConfig,
     lane_k = (jnp.arange(n, dtype=jnp.int32) // (h * w)).astype(jnp.uint32)
     py, px = jnp.divmod(lane_pix, w)
     pixel_hash = qmc.hash_u32(px.astype(jnp.uint32)
-                              ^ (py.astype(jnp.uint32) << 16))
+                              ^ (py.astype(jnp.uint32) << 16)
+                              ^ jnp.uint32(cfg.qmc_seed))
 
     def shade_vertex(scene_arrays, state, bounce_dim, bounce_idx, s_idx,
                      first: bool):

@@ -67,6 +67,26 @@ def _ray_tri_chunk(v0, e1, e2, org, dirn, tmin, tmax):
 SMALL_SCENE_TRIS = 128  # unrolled per-tri loop below this count
 
 
+def _pad_to_chunk(tris: dict, chunk: int, extra=()):
+    """Pad SoA triangle arrays (and optional aligned per-tri `extra`
+    arrays) to a multiple of `chunk` with never-hit degenerates
+    (e1=e2=0 ⇒ det=0 ⇒ invalid).  The chunked brute loops floor-divide
+    the triangle count, so an unpadded tail would be silently SKIPPED
+    (production scenes pre-pad at compile — scene.py:397 — but direct
+    callers hit this; found by an on-device cross-check in r3)."""
+    t = tris["v0"].shape[0]
+    pad = (-t) % chunk
+    if pad == 0:
+        return tris, extra
+    z = ((0, pad), (0, 0))
+    tris = {
+        "v0": jnp.pad(tris["v0"], z, constant_values=1e30),
+        "e1": jnp.pad(tris["e1"], z),
+        "e2": jnp.pad(tris["e2"], z),
+    }
+    return tris, tuple(jnp.pad(a, z) for a in extra)
+
+
 def _closest_hit_small(tris: dict, org, dirn, tmin, tmax,
                        geom_pack=None) -> Hit:
     """Tiny-scene variant: static unroll over triangles with scalar tri
@@ -160,6 +180,8 @@ def closest_hit_brute(tris: dict, org, dirn, tmin=None, tmax=None,
         tmax = jnp.full((n,), jnp.inf, jnp.float32)
     if t_total <= SMALL_SCENE_TRIS:
         return _closest_hit_small(tris, org, dirn, tmin, tmax, geom_pack)
+    tris, _ = _pad_to_chunk(tris, chunk)
+    t_total = tris["v0"].shape[0]
 
     def do_chunk(carry, c0):
         best_t, best_tri, best_u, best_v = carry
@@ -209,6 +231,8 @@ def shadow_transmission_brute(tris: dict, filt, org, dirn, dist,
     t_total = tris["v0"].shape[0]
     if t_total <= SMALL_SCENE_TRIS:
         return _shadow_small(tris, filt, org, dirn, dist)
+    tris, (filt,) = _pad_to_chunk(tris, chunk, (filt,))
+    t_total = tris["v0"].shape[0]
     tmin = jnp.full((n,), SHADOW_EPS, jnp.float32)
     log_f = jnp.log(jnp.maximum(filt, 1e-12))  # (T,3)
     opaque = jnp.max(filt, axis=-1) < 1e-6  # (T,)

@@ -304,24 +304,28 @@ def _slab_any(cl_ref, j, org_ref, inv_ref, tmin, tmax):
     return jnp.max(hit.astype(jnp.float32))
 
 
-def _closest_kernel(tri_ref, cl_ref, org_ref, dir_ref, inv_ref, tlim_ref,
-                    t_out, tri_out):
+def _closest_kernel(tri_ref, cl_ref, rays_ref, t_out, tri_out,
+                    best_t, best_c):
     """Grid (blocks x clusters) kernel for small cluster counts.  Same
     (best-t, best PACK COLUMN) contract as the streaming kernel — the
-    wrapper recomputes u/v/orig-id from the column."""
+    wrapper recomputes u/v/orig-id from the column.  Per-ray best state
+    rides in (bq, 1) VMEM scratch across the j steps; the (1, bq)
+    transposed out rows are written once at the last cluster."""
     j = pl.program_id(1)
+    n_cl = pl.num_programs(1)
     bt = tri_ref.shape[1]
+    org_ref, dir_ref, inv_ref, rp = _unpack_rays8(rays_ref)
+    tmin, tmax = rp[:, 6:7], rp[:, 7:8]
 
     @pl.when(j == 0)
     def _():
-        t_out[:] = jnp.full_like(t_out, jnp.inf)
-        tri_out[:] = jnp.zeros_like(tri_out)
+        best_t[:] = jnp.full_like(best_t, jnp.inf)
+        best_c[:] = jnp.zeros_like(best_c)
 
-    tmin, tmax = tlim_ref[:, 0:1], tlim_ref[:, 1:2]
     # cluster cull: skip the tile unless some ray can still hit this box
     # nearer than its current best
     any_hit = _slab_any(cl_ref, j, org_ref, inv_ref, tmin,
-                        jnp.minimum(tmax, t_out[:]))
+                        jnp.minimum(tmax, best_t[:]))
 
     @pl.when(any_hit > 0.0)
     def _():
@@ -335,24 +339,30 @@ def _closest_kernel(tri_ref, cl_ref, org_ref, dir_ref, inv_ref, tlim_ref,
         kcand = jnp.where(t_ok <= tile_min, kcol, _BIG_I32)
         k_min = jnp.min(kcand, axis=1, keepdims=True)          # (BQ, 1)
 
-        better = tile_min < t_out[:]
-        t_out[:] = jnp.where(better, tile_min, t_out[:])
-        tri_out[:] = jnp.where(better, j * bt + k_min, tri_out[:])
+        better = tile_min < best_t[:]
+        best_t[:] = jnp.where(better, tile_min, best_t[:])
+        best_c[:] = jnp.where(better, j * bt + k_min, best_c[:])
+
+    @pl.when(j == n_cl - 1)
+    def _():
+        t_out[:] = best_t[:].T
+        tri_out[:] = best_c[:].T
 
 
-def _shadow_kernel(tri_ref, cl_ref, logf_ref, org_ref, dir_ref, inv_ref,
-                   dist_ref, lg_out):
+def _shadow_kernel(tri_ref, cl_ref, logf_ref, rays_ref, lg_out, lg_buf):
     """Accumulates LOG transmission (the wrapper exps once per ray):
     per-pair work is one multiply-add against the PRECOMPUTED per-tri
     log-filter row — per-pair log/exp transcendentals cost a measured
     ~5x on the VPU (Mosaic has no reduce_prod to do it directly)."""
     j = pl.program_id(1)
+    n_cl = pl.num_programs(1)
+    org_ref, dir_ref, inv_ref, rp = _unpack_rays8(rays_ref)
+    dist = rp[:, 7:8]
 
     @pl.when(j == 0)
     def _():
-        lg_out[:] = jnp.zeros_like(lg_out)
+        lg_buf[:] = jnp.zeros_like(lg_buf)
 
-    dist = dist_ref[:, 0:1]
     tmin = 5e-4
     tmax = dist * (1.0 - 1e-4) - 5e-4
     any_hit = _slab_any(cl_ref, j, org_ref, inv_ref,
@@ -362,13 +372,17 @@ def _shadow_kernel(tri_ref, cl_ref, logf_ref, org_ref, dir_ref, inv_ref,
     def _():
         t, _, _, ok = _mt_tile(tri_ref, org_ref, dir_ref)
         okf = (ok & (t > tmin) & (t < tmax)).astype(jnp.float32)
-        lg = lg_out[:]
+        lg = lg_buf[:]
         cols = []
         for c in range(3):
             acc = jnp.sum(okf * logf_ref[c:c + 1, :], axis=1,
                           keepdims=True)                       # (BQ, 1)
             cols.append(lg[:, c:c + 1] + acc)
-        lg_out[:] = jnp.concatenate(cols, axis=1)
+        lg_buf[:] = jnp.concatenate(cols, axis=1)
+
+    @pl.when(j == n_cl - 1)
+    def _():
+        lg_out[:] = lg_buf[:].T
 
 
 def _pad_rays(cols, bq=BQ):
@@ -378,6 +392,39 @@ def _pad_rays(cols, bq=BQ):
     if pad:
         cols = [jnp.pad(c, ((0, pad), (0, 0))) for c in cols]
     return cols, n
+
+
+def _rays8_t(cols, bq):
+    """Build the (8, NPAD) TRANSPOSED per-ray pallas operand from (N,)
+    and (N, 3) columns.  Measured layout fact (BENCH_ALL.md r3): XLA:TPU
+    materializes row-major (N, small-C) pallas operands/outputs through
+    a tiled-layout copy that pads the minor dim to 128 lanes — 2 GB of
+    HBM temp per operand at 2M rays (the 164K-tri 512² render OOM'd on
+    exactly these).  With 8 sublane rows x N lanes the buffers are
+    unpadded and the copies vanish (the TINY kernels' _to_tiles_t
+    convention, extended to the block/stream kernels)."""
+    rows = []
+    for c in cols:
+        rows.append(c.T if c.ndim == 2 else c[None, :])
+    rp = jnp.concatenate(rows, axis=0)
+    if rp.shape[0] < 8:
+        rp = jnp.pad(rp, ((0, 8 - rp.shape[0]), (0, 0)))
+    n = rp.shape[1]
+    pad = (-n) % bq
+    if pad:
+        rp = jnp.pad(rp, ((0, 0), (0, pad)))
+    return rp, n
+
+
+def _unpack_rays8(rays_ref):
+    """One (8, bq) -> (bq, 8) relayout per grid step; returns
+    (org (bq,3), dir (bq,3), inv (bq,3), rp (bq,8) for rows 6/7)."""
+    rp = rays_ref[...].T
+    org = rp[:, 0:3]
+    dirn = rp[:, 3:6]
+    inv = 1.0 / jnp.where(jnp.abs(dirn) < 1e-12,
+                          jnp.where(dirn < 0, -1e-12, 1e-12), dirn)
+    return org, dirn, inv, rp
 
 
 def _inv_dir(dirn):
@@ -541,10 +588,10 @@ def _stream_pipeline(cnt, get_dma, process):
     jax.lax.fori_loop(0, (cnt + 1) // 2, body, 0)
 
 
-def _closest_kernel_stream(order_hbm, count_ref, tri_hbm, cl_ref, org_ref,
-                           dir_ref, inv_ref, tlim_ref,
+def _closest_kernel_stream(order_hbm, count_ref, tri_hbm, cl_ref, rays_ref,
                            t_out, tri_out, tri_buf, ord_smem,
-                           sems, osem, *, do_slab=True, n_sub=1):
+                           sems, osem, best_t, best_c,
+                           *, do_slab=True, n_sub=1):
     """Streaming front-to-back kernel: ONE grid step per ray block; the
     block's active-cluster list (its row of order_hbm, DMA'd into SMEM
     scratch — whole-array SMEM operands hit the 1 MB cap at fine
@@ -569,9 +616,13 @@ def _closest_kernel_stream(order_hbm, count_ref, tri_hbm, cl_ref, org_ref,
         ocp.start()
         ocp.wait()
 
-    t_out[:] = jnp.full_like(t_out, jnp.inf)
-    tri_out[:] = jnp.zeros_like(tri_out)
-    tmin, tmax = tlim_ref[:, 0:1], tlim_ref[:, 1:2]
+    org_ref, dir_ref, inv_ref, rp = _unpack_rays8(rays_ref)
+    tmin, tmax = rp[:, 6:7], rp[:, 7:8]
+    # per-ray best state lives in (bq, 1) VMEM scratch (the math's
+    # column orientation); the (1, bq) out rows are written once at the
+    # end — keeps the read-modify-write loop transpose-free
+    best_t[:] = jnp.full_like(best_t, jnp.inf)
+    best_c[:] = jnp.zeros_like(best_c)
 
     sbt = bt // n_sub
 
@@ -608,10 +659,10 @@ def _closest_kernel_stream(order_hbm, count_ref, tri_hbm, cl_ref, org_ref,
             kcand = jnp.where(t_ok <= tile_min, kcol, _BIG_I32)
             k_min = jnp.min(kcand, axis=1, keepdims=True)
 
-            better = tile_min < t_out[:]
-            t_out[:] = jnp.where(better, tile_min, t_out[:])
-            tri_out[:] = jnp.where(better, c * bt + s * sbt + k_min,
-                                   tri_out[:])
+            better = tile_min < best_t[:]
+            best_t[:] = jnp.where(better, tile_min, best_t[:])
+            best_c[:] = jnp.where(better, c * bt + s * sbt + k_min,
+                                  best_c[:])
 
         def mt_tile():
             if n_sub == 1:
@@ -628,17 +679,19 @@ def _closest_kernel_stream(order_hbm, count_ref, tri_hbm, cl_ref, org_ref,
             # front-to-back early termination: once every ray's best hit
             # is nearer than this cluster's entry skip the whole MT tile
             any_hit = _slab_any(cl_ref, c, org_ref, inv_ref, tmin,
-                                jnp.minimum(tmax, t_out[:]))
+                                jnp.minimum(tmax, best_t[:]))
             pl.when(any_hit > 0.0)(mt_tile)
         else:
             mt_tile()
 
     _stream_pipeline(cnt, get_dma, process)
+    t_out[:] = best_t[:].T
+    tri_out[:] = best_c[:].T
 
 
-def _shadow_kernel_stream(order_hbm, count_ref, tri_hbm, cl_ref, org_ref,
-                          dir_ref, inv_ref, dist_ref, lg_out, tri_buf,
-                          ord_smem, sems, osem, *, do_slab=True, n_sub=1):
+def _shadow_kernel_stream(order_hbm, count_ref, tri_hbm, cl_ref, rays_ref,
+                          lg_out, tri_buf, ord_smem, sems, osem, lg_buf,
+                          *, do_slab=True, n_sub=1):
     """Streaming shadow kernel over a (16, T) pack (tri rows 0:10 +
     rgb log-filter rows 10:13 + pad), same structure as
     _closest_kernel_stream."""
@@ -653,8 +706,9 @@ def _shadow_kernel_stream(order_hbm, count_ref, tri_hbm, cl_ref, org_ref,
         ocp.start()
         ocp.wait()
 
-    lg_out[:] = jnp.zeros_like(lg_out)
-    dist = dist_ref[:, 0:1]
+    org_ref, dir_ref, inv_ref, rp = _unpack_rays8(rays_ref)
+    dist = rp[:, 7:8]
+    lg_buf[:] = jnp.zeros_like(lg_buf)
     tmin = 5e-4
     tmax = dist * (1.0 - 1e-4) - 5e-4
 
@@ -680,13 +734,13 @@ def _shadow_kernel_stream(order_hbm, count_ref, tri_hbm, cl_ref, org_ref,
             else:
                 t, _, _, ok = _mt_tile(tri_ref, org_ref, dir_ref)
             okf = (ok & (t > tmin) & (t < tmax)).astype(jnp.float32)
-            lg = lg_out[:]
+            lg = lg_buf[:]
             cols = []
             for ci in range(3):
                 acc = jnp.sum(okf * tri_ref[10 + ci:11 + ci, :], axis=1,
                               keepdims=True)
                 cols.append(jnp.maximum(lg[:, ci:ci + 1] + acc, -80.0))
-            lg_out[:] = jnp.concatenate(cols, axis=1)
+            lg_buf[:] = jnp.concatenate(cols, axis=1)
 
         def mt_tile():
             if n_sub == 1:
@@ -701,12 +755,13 @@ def _shadow_kernel_stream(order_hbm, count_ref, tri_hbm, cl_ref, org_ref,
                                 jnp.full_like(dist, tmin), tmax)
             # opacity early-out: once every ray's log-transmission has
             # saturated opaque, later clusters can't change the result
-            not_done = jnp.max(lg_out[:]) > -79.0
+            not_done = jnp.max(lg_buf[:]) > -79.0
             pl.when((any_hit > 0.0) & not_done)(mt_tile)
         else:
             mt_tile()
 
     _stream_pipeline(cnt, get_dma, process)
+    lg_out[:] = lg_buf[:].T
 
 
 def _spread_bits(x):
@@ -1087,22 +1142,23 @@ def _closest_fb_tcol(tri_pack10, pack16, cluster8, org, dirn, tmin, tmax,
         if ent is not None:
             ent = ent[perm]
     bq = _pick_bq(bt)
-    (org_p, dir_p, inv_p, tlim), _ = _pad_rays(
-        [org, dirn, _inv_dir(dirn), jnp.stack([tmin, tmax], axis=1)], bq)
+    rays8, _ = _rays8_t([org, dirn, tmin, tmax], bq)
+    npad = rays8.shape[1]
     out_shape = [
-        jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.float32),
-        jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.int32),
+        jax.ShapeDtypeStruct((1, npad), jnp.float32),
+        jax.ShapeDtypeStruct((1, npad), jnp.int32),
     ]
     if ent is not None:
-        ent_p = jnp.pad(ent, ((0, org_p.shape[0] - n), (0, 0)),
+        ent_p = jnp.pad(ent, ((0, npad - n), (0, 0)),
                         constant_values=jnp.inf)
-        order, count = _block_order_from_entries(ent_p, bq, tlim[:, 1])
+        order, count = _block_order_from_entries(
+            ent_p, bq, jnp.pad(tmax, (0, npad - n)))
         k_sub = 1
     else:
         n_sub = _pick_nsub(tri_pack10, bt)
         sub8 = (_sub_aabbs(tri_pack10, n_tris) if n_sub > 1 else None)
         order, count = _block_cluster_order(
-            org_p, dir_p, tlim[:, 0], tlim[:, 1], cluster8, bq,
+            rays8[0:3].T, rays8[3:6].T, rays8[6], rays8[7], cluster8, bq,
             sub8=sub8, n_sub=n_sub)
         k_sub = n_sub if _submask_mode() else 1
     order, c128 = _order_groups(order)
@@ -1111,31 +1167,33 @@ def _closest_fb_tcol(tri_pack10, pack16, cluster8, org, dirn, tmin, tmax,
     # (a whole-array SMEM operand exceeds the 1 MB SMEM cap at fine
     # cluster widths, and PrefetchScalarGridSpec kernels took
     # 15+ min per remote Mosaic compile in this environment)
-    qspec_fb = lambda c: pl.BlockSpec(
-        (bq, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ospec = lambda r: pl.BlockSpec((r, bq), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)
     t, col = pl.pallas_call(
         functools.partial(_closest_kernel_stream,
                           do_slab=_slab_mode(), n_sub=k_sub),
-        grid=(org_p.shape[0] // bq,),
+        grid=(npad // bq,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # order in HBM
             smem,
             pl.BlockSpec(memory_space=pltpu.HBM),  # pack in HBM
             smem,
-            qspec_fb(3), qspec_fb(3), qspec_fb(3), qspec_fb(2),
+            ospec(8),                              # transposed ray pack
         ],
-        out_specs=[qspec_fb(1)] * 2,
+        out_specs=[ospec(1)] * 2,
         scratch_shapes=[
             pltpu.VMEM((2, 16, bt), jnp.float32),
             pltpu.SMEM((8, c128), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.int32),
         ],
         out_shape=out_shape,
         interpret=INTERPRET,
-    )(order, count, pack16, cluster8, org_p, dir_p, inv_p, tlim)
-    t, col = t[:n, 0], col[:n, 0]
+    )(order, count, pack16, cluster8, rays8)
+    t, col = t[0, :n], col[0, :n]
     if sort:
         # one packed un-permute gather; col ids ride as f32 VALUES
         # (exact below 2^24 — a bitcast would produce denormals, which
@@ -1195,27 +1253,31 @@ def closest_hit_pallas(tri_pack10, cluster8, org, dirn, tmin, tmax,
                                       presorted=presorted)
         return _closest_epilogue(tri_pack10, org, dirn, t, col, n_tris)
     bq = _pick_bq(bt)
-    (org_p, dir_p, inv_p, tlim), n = _pad_rays(
-        [org, dirn, _inv_dir(dirn), jnp.stack([tmin, tmax], axis=1)], bq)
-    qspec = lambda c: pl.BlockSpec((bq, c), lambda i, j: (i, 0),
+    rays8, n = _rays8_t([org, dirn, tmin, tmax], bq)
+    npad = rays8.shape[1]
+    qspec = lambda r: pl.BlockSpec((r, bq), lambda i, j: (0, i),
                                    memory_space=pltpu.VMEM)
     t, col = pl.pallas_call(
         _closest_kernel,
-        grid=(org_p.shape[0] // bq, n_cl),
+        grid=(npad // bq, n_cl),
         in_specs=[
             pl.BlockSpec((10, bt), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cluster table
-            qspec(3), qspec(3), qspec(3), qspec(2),
+            qspec(8),
         ],
         out_specs=[qspec(1)] * 2,
         out_shape=[
-            jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.float32),
-            jax.ShapeDtypeStruct((org_p.shape[0], 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, npad), jnp.float32),
+            jax.ShapeDtypeStruct((1, npad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.int32),
         ],
         interpret=INTERPRET,
-    )(tri_pack10, cluster8, org_p, dir_p, inv_p, tlim)
-    return _closest_epilogue(tri_pack10, org, dirn, t[:n, 0], col[:n, 0],
+    )(tri_pack10, cluster8, rays8)
+    return _closest_epilogue(tri_pack10, org, dirn, t[0, :n], col[0, :n],
                              n_tris)
 
 
@@ -1243,11 +1305,11 @@ def _shadow_fb_lg(tri_pack10, pack16s, cluster8, org, dirn, dist,
         if ent is not None:
             ent = ent[perm]
     bq = _pick_bq(bt)
-    (org_p, dir_p, inv_p, dist_p), _ = _pad_rays(
-        [org, dirn, _inv_dir(dirn), dist[:, None]], bq)
-    d = dist_p[:, 0]
+    rays8, _ = _rays8_t([org, dirn, jnp.zeros_like(dist), dist], bq)
+    npad = rays8.shape[1]
+    d = rays8[7]
     if ent is not None:
-        ent_p = jnp.pad(ent, ((0, org_p.shape[0] - n), (0, 0)),
+        ent_p = jnp.pad(ent, ((0, npad - n), (0, 0)),
                         constant_values=jnp.inf)
         order, count = _block_order_from_entries(
             ent_p, bq, d * (1.0 - 1e-4) - 5e-4)
@@ -1256,35 +1318,35 @@ def _shadow_fb_lg(tri_pack10, pack16s, cluster8, org, dirn, dist,
         n_sub = _pick_nsub(tri_pack10, bt)
         sub8 = (_sub_aabbs(tri_pack10, n_tris) if n_sub > 1 else None)
         order, count = _block_cluster_order(
-            org_p, dir_p, jnp.full_like(d, 5e-4),
+            rays8[0:3].T, rays8[3:6].T, jnp.full_like(d, 5e-4),
             d * (1.0 - 1e-4) - 5e-4, cluster8, bq,
             sub8=sub8, n_sub=n_sub)
         k_sub = n_sub if _submask_mode() else 1
     order, c128 = _order_groups(order)
-    qspec_fb = lambda c: pl.BlockSpec(
-        (bq, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ospec = lambda r: pl.BlockSpec((r, bq), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)
     lg = pl.pallas_call(
         functools.partial(_shadow_kernel_stream,
                           do_slab=_slab_mode(), n_sub=k_sub),
-        grid=(org_p.shape[0] // bq,),
+        grid=(npad // bq,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),  # order HBM
                   smem,
                   pl.BlockSpec(memory_space=pltpu.HBM),
                   smem,
-                  qspec_fb(3), qspec_fb(3), qspec_fb(3),
-                  qspec_fb(1)],
-        out_specs=qspec_fb(3),
+                  ospec(8)],
+        out_specs=ospec(3),
         scratch_shapes=[
             pltpu.VMEM((2, 16, bt), jnp.float32),
             pltpu.SMEM((8, c128), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((bq, 3), jnp.float32),
         ],
-        out_shape=jax.ShapeDtypeStruct((org_p.shape[0], 3), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, npad), jnp.float32),
         interpret=INTERPRET,
-    )(order, count, pack16s, cluster8, org_p, dir_p, inv_p, dist_p)
-    lg = lg[:n]
+    )(order, count, pack16s, cluster8, rays8)
+    lg = lg[:, :n].T
     if sort:
         lg = lg[unperm]
     return lg
@@ -1359,23 +1421,24 @@ def shadow_transmission_pallas(tri_pack10, cluster8, filt4, org, dirn,
             tri_pack10, pack16s, cluster8, org, dirn, dist, n_tris,
             presorted=presorted))
     bq = _pick_bq(bt)
-    (org_p, dir_p, inv_p, dist_p), n = _pad_rays(
-        [org, dirn, _inv_dir(dirn), dist[:, None]], bq)
-    qspec = lambda c: pl.BlockSpec((bq, c), lambda i, j: (i, 0),
+    rays8, n = _rays8_t([org, dirn, jnp.zeros_like(dist), dist], bq)
+    npad = rays8.shape[1]
+    qspec = lambda r: pl.BlockSpec((r, bq), lambda i, j: (0, i),
                                    memory_space=pltpu.VMEM)
     tspec = lambda c: pl.BlockSpec((c, bt), lambda i, j: (0, j),
                                    memory_space=pltpu.VMEM)
     lg = pl.pallas_call(
         _shadow_kernel,
-        grid=(org_p.shape[0] // bq, n_cl),
+        grid=(npad // bq, n_cl),
         in_specs=[tspec(10),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  tspec(4), qspec(3), qspec(3), qspec(3), qspec(1)],
+                  tspec(4), qspec(8)],
         out_specs=qspec(3),
-        out_shape=jax.ShapeDtypeStruct((org_p.shape[0], 3), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, npad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bq, 3), jnp.float32)],
         interpret=INTERPRET,
-    )(tri_pack10, cluster8, logf4, org_p, dir_p, inv_p, dist_p)
-    return jnp.exp(lg[:n])
+    )(tri_pack10, cluster8, logf4, rays8)
+    return jnp.exp(lg[:, :n].T)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,135 @@
+"""Time-to-RMSE benchmark — BASELINE.json's second primary metric:
+wall-clock until the Cornell-box pathtracing film reaches RMSE <= 1e-3
+(linear RGB, mean over pixels/channels, gamma-free) vs a golden.
+
+Protocol (BASELINE.md "Measurement protocol"):
+  - golden: the SAME pipeline with an independent sampler stream
+    (qmc_seed=0xB0B) at GOLDEN_MULT x the measurement spp budget, so
+    golden noise is well below the target threshold;
+  - measurement: steady-state step loop (compile excluded, the same
+    convention as the Mrays/s metric), RMSE checked every CHECK steps;
+  - reported: steady seconds to threshold, spp used, rays traced,
+    and the golden self-noise floor.
+
+  python scripts/bench_time_to_rmse.py [--size 128] [--threshold 1e-3]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--threshold", type=float, default=1e-3)
+    ap.add_argument("--spp-step", type=int, default=64,
+                    help="spp added per timing-loop iteration")
+    ap.add_argument("--max-steps", type=int, default=512,
+                    help="cap on timing-loop iterations")
+    ap.add_argument("--golden-mult", type=int, default=4,
+                    help="golden spp = mult x max measurement spp")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from libyafaray_tpu.scene.xml_parser import parse_xml_file
+    from libyafaray_tpu.scene.session import build_config
+    from libyafaray_tpu.integrators.config import RenderConfig
+    from libyafaray_tpu.integrators.render import device_put_scene
+    from libyafaray_tpu.integrators.engine import make_sample_step
+    from libyafaray_tpu.film.imagefilm import film_init, film_image
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scene = parse_xml_file(os.path.join(root, "scenes", "cornell.xml"))
+    scene.render_params["width"] = args.size
+    scene.render_params["height"] = args.size
+    base = build_config(scene)
+
+    def make_cfg(seed):
+        # one step call = spp_batch samples/pixel (lanes = H*W*spp_batch)
+        return RenderConfig(**{
+            **base.__dict__, "integrator": "pathtracing", "bounces": 4,
+            "rr_min_bounces": 2, "width": args.size, "height": args.size,
+            "aa_samples": args.spp_step, "aa_passes": 1, "qmc_seed": seed,
+            "spp_batch": args.spp_step,
+        })
+
+    cscene = scene.compile()
+    arrays = device_put_scene(cscene)
+    flags = jnp.ones((args.size, args.size), jnp.bool_)
+
+    def run(cfg, n_steps, probe=None):
+        """probe: optional (every, golden) -> list of (steady_s, spp,
+        rays, rmse) checkpoints."""
+        step = jax.jit(make_sample_step(cscene.static, cscene.camera, cfg),
+                       donate_argnums=(1,))
+        f = film_init(args.size, args.size)
+        f["rays"] = jnp.zeros((), jnp.float32)
+        f = step(arrays, f, flags)             # warmup/compile
+        jax.block_until_ready(f["wsum"])
+        f = film_init(args.size, args.size)
+        f["rays"] = jnp.zeros((), jnp.float32)
+        out = []
+        t0 = time.perf_counter()
+        for i in range(1, n_steps + 1):
+            f = step(arrays, f, flags)
+            if probe is not None and i % probe[0] == 0:
+                img = np.asarray(film_image(f))
+                dt = time.perf_counter() - t0
+                rmse = float(np.sqrt(np.mean((img - probe[1]) ** 2)))
+                out.append((dt, i * cfg.spp_batch,
+                            float(f["rays"]), rmse))
+                if rmse <= args.threshold:
+                    break
+        jax.block_until_ready(f["wsum"])
+        return np.asarray(film_image(f)), out, time.perf_counter() - t0
+
+    g_steps = args.max_steps * args.golden_mult
+    print(f"golden: seed=0xB0B, {g_steps * args.spp_step} spp ...",
+          flush=True)
+    tg0 = time.perf_counter()
+    golden, _, _ = run(make_cfg(0xB0B), g_steps)
+    print(f"golden done in {time.perf_counter() - tg0:.1f}s", flush=True)
+    # golden noise floor: an independent half-budget render vs golden
+    floor_img, _, _ = run(make_cfg(0xF100), g_steps // 2)
+    floor = float(np.sqrt(np.mean((floor_img - golden) ** 2)))
+    print(f"golden self-noise floor (half-budget indep): {floor:.2e}",
+          flush=True)
+
+    _, checkpoints, steady = run(make_cfg(0), args.max_steps,
+                                 probe=(1, golden))
+    hit = [c for c in checkpoints if c[3] <= args.threshold]
+    for (dt, spp, rays, rmse) in checkpoints[-8:]:
+        print(f"  t={dt:7.2f}s spp={spp:6d} rays={rays / 1e9:.2f}G "
+              f"rmse={rmse:.2e}")
+    result = {
+        "metric": "time_to_rmse",
+        "threshold": args.threshold,
+        "resolution": f"{args.size}x{args.size}",
+        "golden_spp": g_steps * args.spp_step,
+        "noise_floor": floor,
+        "reached": bool(hit),
+        "steady_s": round(hit[0][0], 3) if hit else None,
+        "spp": hit[0][1] if hit else checkpoints[-1][1],
+        "rays": hit[0][2] if hit else checkpoints[-1][2],
+        "final_rmse": checkpoints[-1][3],
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

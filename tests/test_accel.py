@@ -331,3 +331,39 @@ def test_pallas_pairs_path_matches_brute(monkeypatch):
         assert np.allclose(np.asarray(tr_p), np.asarray(tr_b), atol=2e-3)
     finally:
         pli.INTERPRET = False
+
+
+def test_brute_unpadded_tail():
+    """Brute-force chunking must cover a triangle count that is NOT a
+    multiple of `chunk`: the last partial chunk was silently skipped
+    (found r3 by an on-device pallas-vs-brute cross-check — a tail
+    triangle's hit was missing).  Both the closest and shadow variants
+    pad internally now."""
+    rng = np.random.default_rng(7)
+    t = 700  # 700 = 5*128 + 60: tail of 60 at chunk=128, 188 at 512
+    v0 = rng.uniform(-1, 1, (t, 3)).astype(np.float32)
+    e1 = rng.normal(0, 0.2, (t, 3)).astype(np.float32)
+    e2 = rng.normal(0, 0.2, (t, 3)).astype(np.float32)
+    n = 256
+    org = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tris = dict(v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2))
+    org, d = jnp.asarray(org), jnp.asarray(d)
+    ha = closest_hit_brute(tris, org, d, chunk=128)
+    hb = closest_hit_brute(tris, org, d, chunk=512)
+    # reference: single chunk covering everything exactly
+    hc = closest_hit_brute(tris, org, d, chunk=700)
+    for h in (ha, hb):
+        assert np.array_equal(np.asarray(h.hit), np.asarray(hc.hit))
+        m = np.asarray(hc.hit)
+        assert np.allclose(np.asarray(h.t)[m], np.asarray(hc.t)[m],
+                           rtol=1e-5)
+    filt = (rng.random((t, 3)) * (rng.random((t, 1)) > 0.3)).astype(
+        np.float32)
+    dist = jnp.full((n,), 3.0, jnp.float32)
+    tra = shadow_transmission_brute(tris, jnp.asarray(filt), org, d,
+                                    dist, chunk=128)
+    trc = shadow_transmission_brute(tris, jnp.asarray(filt), org, d,
+                                    dist, chunk=700)
+    assert np.allclose(np.asarray(tra), np.asarray(trc), atol=1e-5)
