@@ -162,9 +162,13 @@ def build_tri_pack(v0, e1, e2, order=None):
         e2o = np.concatenate([e2o, z])
         order = np.concatenate([order, np.zeros(pad, order.dtype)])
     tp = v0o.shape[0]
-    pack10 = np.concatenate(
-        [v0o.T, e1o.T, e2o.T, order[None, :].astype(np.float32)], axis=0)
-    # per-cluster AABBs over REAL triangles only
+    pack10 = np.empty((10, tp), np.float32)
+    pack10[0:3] = v0o.T
+    pack10[3:6] = e1o.T
+    pack10[6:9] = e2o.T
+    pack10[9] = order
+    # per-cluster AABBs over REAL triangles only (masked min/max —
+    # empty all-pad clusters come out inverted = never hit)
     n_cl = tp // bt
     cl = np.empty((8, n_cl), np.float32)
     cl[6:] = 0.0
@@ -172,16 +176,10 @@ def build_tri_pack(v0, e1, e2, order=None):
     p2 = v0o + e2o
     lo = np.minimum(np.minimum(v0o, p1), p2).reshape(n_cl, bt, 3)
     hi = np.maximum(np.maximum(v0o, p1), p2).reshape(n_cl, bt, 3)
-    real = (np.arange(tp) < t).reshape(n_cl, bt)
-    for c in range(n_cl):
-        m = real[c]
-        if m.any():
-            cl[0:3, c] = lo[c][m].min(axis=0)
-            cl[3:6, c] = hi[c][m].max(axis=0)
-        else:
-            cl[0:3, c] = np.inf
-            cl[3:6, c] = -np.inf
-    return np.ascontiguousarray(pack10), np.ascontiguousarray(cl), order
+    real = (np.arange(tp) < t).reshape(n_cl, bt)[..., None]
+    cl[0:3] = np.where(real, lo, np.inf).min(axis=1).T
+    cl[3:6] = np.where(real, hi, -np.inf).max(axis=1).T
+    return pack10, np.ascontiguousarray(cl), order
 
 
 def _mt_tile(tri_ref, org_ref, dir_ref):

@@ -78,9 +78,11 @@ class Interface:
         return True
 
     def start_tri_mesh(self, mesh_id=None, nverts=0, ntris=0,
-                       has_orco=False, has_uv=False, mesh_type=0):
+                       has_orco=False, has_uv=False, mesh_type=0,
+                       visibility="normal"):
         return self.scene.start_tri_mesh(mesh_id, has_uv=has_uv,
-                                         has_orco=has_orco)
+                                         has_orco=has_orco,
+                                         visibility=visibility)
 
     def add_vertex(self, x, y, z):
         return self.scene.add_vertex(x, y, z)

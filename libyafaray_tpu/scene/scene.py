@@ -121,14 +121,20 @@ class Scene:
     # ------------------------------------------------------------------
 
     def start_tri_mesh(self, mesh_id=None, has_uv=False, has_orco=False,
-                       obj_pass_index=0) -> int:
+                       obj_pass_index=0, visibility="normal") -> int:
         if mesh_id is None:
             mesh_id = self._next_mesh_id
         mesh_id = int(mesh_id)
         self._next_mesh_id = max(self._next_mesh_id, mesh_id + 1)
+        if visibility not in ("normal", "invisible", "shadow_only",
+                              "no_shadows"):
+            log.warning("startTriMesh: unknown visibility %r -> normal",
+                        visibility)
+            visibility = "normal"
         self._cur_mesh = TriMesh(mesh_id=mesh_id, has_uv=bool(has_uv),
                                  has_orco=bool(has_orco),
-                                 obj_pass_index=int(obj_pass_index))
+                                 obj_pass_index=int(obj_pass_index),
+                                 visibility=visibility)
         self.meshes[mesh_id] = self._cur_mesh
         return mesh_id
 
@@ -397,12 +403,23 @@ class Scene:
         v0p, e1p, e2p, _ = pad_triangles(v0, e1, e2, chunk)
         n_pad = v0p.shape[0]
 
-        sv0 = cat(shadow_blocks, "pos")[:, 0]
-        spos = cat(shadow_blocks, "pos")
-        se1 = spos[:, 1] - spos[:, 0]
-        se2 = spos[:, 2] - spos[:, 0]
-        smat = cat(shadow_blocks, "mat")
-        sv0p, se1p, se2p, _ = pad_triangles(sv0, se1, se2, chunk)
+        # shadow geometry == visible geometry in the common all-"normal"
+        # case: reuse the concats/pads/packs instead of rebuilding (at
+        # 655K tris the duplicate concat+pack build was ~40% of scene
+        # compile)
+        same_shadow = (len(shadow_blocks) == len(vis_blocks) and
+                       all(a is b for a, b in
+                           zip(shadow_blocks, vis_blocks)))
+        if same_shadow:
+            sv0, se1, se2, smat = v0, e1, e2, mat
+            sv0p, se1p, se2p = v0p, e1p, e2p
+        else:
+            spos = cat(shadow_blocks, "pos")
+            sv0 = spos[:, 0]
+            se1 = spos[:, 1] - spos[:, 0]
+            se2 = spos[:, 2] - spos[:, 0]
+            smat = cat(shadow_blocks, "mat")
+            sv0p, se1p, se2p, _ = pad_triangles(sv0, se1, se2, chunk)
         ns_pad = sv0p.shape[0]
 
         mats = build_material_table(self.materials)
@@ -521,11 +538,13 @@ class Scene:
         # packed per-triangle shading attributes: ONE gather per hit instead
         # of eight (pos 9, normal 9, uv 6, geo_n 3, mat 1, light_id 1,
         # uv_density 1, dPdU 3, dPdV 3 = 36)
+        # np.asarray(x, f32) is a no-copy cast for the (common) already-
+        # f32 inputs; .astype would copy before concatenate copies again
         tri_shade_pack = np.concatenate([
-            pos.reshape(n_real, 9).astype(np.float32),
-            normal.reshape(n_real, 9).astype(np.float32),
-            uv.reshape(n_real, 6).astype(np.float32),
-            geo_n.astype(np.float32),
+            np.asarray(pos.reshape(n_real, 9), np.float32),
+            np.asarray(normal.reshape(n_real, 9), np.float32),
+            np.asarray(uv.reshape(n_real, 6), np.float32),
+            np.asarray(geo_n, np.float32),
             mat[:, None].astype(np.float32),
             light_id[:, None].astype(np.float32),
             uv_density[:, None].astype(np.float32),
@@ -533,8 +552,8 @@ class Scene:
         ], axis=1)
         # packed winner geometry for the intersector's barycentric recompute
         tri_geom_pack = np.concatenate(
-            [v0.astype(np.float32), e1.astype(np.float32),
-             e2.astype(np.float32)], axis=1)
+            [np.asarray(v0, np.float32), np.asarray(e1, np.float32),
+             np.asarray(e2, np.float32)], axis=1)
 
         # which texture coordinate spaces does this scene's shading
         # actually need?  (texco orco/object need the per-corner
@@ -554,8 +573,8 @@ class Scene:
             orco = cat(vis_blocks, "orco")
             # (T, 18): orco corners 0:9, local (object-space) corners 9:18
             tri_orco_pack = np.concatenate([
-                orco.reshape(n_real, 9).astype(np.float32),
-                local.reshape(n_real, 9).astype(np.float32),
+                np.asarray(orco.reshape(n_real, 9), np.float32),
+                np.asarray(local.reshape(n_real, 9), np.float32),
             ], axis=1)
         # Clustered packs for the pallas kernels: (10, T) v0|e1|e2|orig_id
         # rows in Morton order + per-cluster AABBs (cluster culling — the
@@ -563,11 +582,17 @@ class Scene:
         from ..ops.pallas_intersect import build_tri_pack, morton_order
 
         t_order = morton_order(v0, e1, e2) if n_real > 1024 else None
-        tri_pack10, tri_cluster8, _ = build_tri_pack(v0, e1, e2, t_order)
+        tri_pack10, tri_cluster8, t_ord = build_tri_pack(v0, e1, e2,
+                                                         t_order)
         ns_real = sv0.shape[0]
-        s_order = morton_order(sv0, se1, se2) if ns_real > 1024 else None
-        stri_pack10, stri_cluster8, s_ord = build_tri_pack(
-            sv0, se1, se2, s_order)
+        if same_shadow:
+            stri_pack10, stri_cluster8, s_ord = (tri_pack10, tri_cluster8,
+                                                 t_ord)
+        else:
+            s_order = (morton_order(sv0, se1, se2)
+                       if ns_real > 1024 else None)
+            stri_pack10, stri_cluster8, s_ord = build_tri_pack(
+                sv0, se1, se2, s_order)
         # shadow filters in PACK order (padded entries alias tri 0 — they
         # are degenerate and never hit)
         sfilt_pk = filt_m[smat][s_ord]
@@ -576,8 +601,9 @@ class Scene:
             1.0, 0.0).astype(np.float32)
 
         arrays = dict(
-            tris=dict(v0=v0p.astype(np.float32), e1=e1p.astype(np.float32),
-                      e2=e2p.astype(np.float32)),
+            tris=dict(v0=np.asarray(v0p, np.float32),
+                      e1=np.asarray(e1p, np.float32),
+                      e2=np.asarray(e2p, np.float32)),
             tri_shade_pack=tri_shade_pack,
             **({"tri_orco_pack": tri_orco_pack}
                if tri_orco_pack is not None else {}),
@@ -593,9 +619,9 @@ class Scene:
                 [np.broadcast_to(sfilt_bin_pk, (sfilt_pk.shape[0], 3))
                  .T.astype(np.float32),
                  np.zeros((1, sfilt_pk.shape[0]), np.float32)]),
-            stris=dict(v0=sv0p.astype(np.float32),
-                       e1=se1p.astype(np.float32),
-                       e2=se2p.astype(np.float32)),
+            stris=dict(v0=np.asarray(sv0p, np.float32),
+                       e1=np.asarray(se1p, np.float32),
+                       e2=np.asarray(se2p, np.float32)),
             shadow_filt=sfilt.astype(np.float32),
             shadow_filt_binary=sfilt_bin,
             tri_pos=pos.astype(np.float32),

@@ -70,7 +70,12 @@ def _parse_mesh(el: ET.Element, scene: Scene):
     mesh_id = int(el.attrib.get("id", scene._next_mesh_id))
     has_uv = el.attrib.get("has_uv", "false").lower() in ("true", "1")
     has_orco = el.attrib.get("has_orco", "false").lower() in ("true", "1")
-    scene.start_tri_mesh(mesh_id, has_uv=has_uv, has_orco=has_orco)
+    # v3 object visibility (objectbase.h visibility_t): normal |
+    # invisible | shadow_only | no_shadows ("invisible" still casts
+    # nothing and renders nothing — it is excluded from BOTH tri sets)
+    visibility = el.attrib.get("visibility", "normal")
+    scene.start_tri_mesh(mesh_id, has_uv=has_uv, has_orco=has_orco,
+                         visibility=visibility)
     cur_mat = 0
     for child in el:
         tag = child.tag

@@ -92,9 +92,11 @@ def write_xml(scene: Scene) -> str:
 
     for mesh in scene.meshes.values():
         has_uv = "true" if mesh.has_uv else "false"
+        vis = ("" if mesh.visibility == "normal"
+               else f' visibility="{mesh.visibility}"')
         lines.append(
             f'  <mesh id="{mesh.mesh_id}" vertices="{len(mesh.vertices)}" '
-            f'faces="{len(mesh.faces)}" has_uv="{has_uv}" type="0">'
+            f'faces="{len(mesh.faces)}" has_uv="{has_uv}"{vis} type="0">'
         )
         for x, y, z in mesh.vertices:
             lines.append(f'    <p x="{x!r}" y="{y!r}" z="{z!r}"/>')
