@@ -901,13 +901,27 @@ def make_sample_step(static, camera, cfg: RenderConfig,
         Ls = L.reshape(spb, h, w, 3)
         dxs = dx.reshape(spb, h, w)
         dys = dy.reshape(spb, h, w)
+        # two-level accumulation: splat the batch into a FRESH zero
+        # fragment, then add ONCE into the film.  Splatting each sample
+        # straight into the long-run accumulator stagnates in f32 —
+        # at ~10^5-10^6 spp the per-sample adds fall below ulp(wsum)/2
+        # and the film stops converging (measured: independent-seed
+        # golden renders plateaued at RMSE 2.3e-2 at 786K spp while
+        # 16K-spp renders agreed to 6.5e-4; scripts/bench_time_to_rmse)
+        frag = dict(wsum=jnp.zeros_like(film["wsum"]),
+                    w=jnp.zeros_like(film["w"]),
+                    nsamples=jnp.zeros_like(film["nsamples"]))
         for k in range(spb):
-            film = film_splat(
-                film, Ls[k], dxs[k], dys[k],
+            frag = film_splat(
+                frag, Ls[k], dxs[k], dys[k],
                 flags.astype(jnp.float32), cfg.filter_type,
                 cfg.aa_pixelwidth, clamp_samples=cfg.aa_clamp_samples,
             )
-        film = dict(film, rays=film.get("rays", 0.0) + nrays)
+        film = dict(film,
+                    wsum=film["wsum"] + frag["wsum"],
+                    w=film["w"] + frag["w"],
+                    nsamples=film["nsamples"] + frag["nsamples"],
+                    rays=film.get("rays", 0.0) + nrays)
         # AOV planes.  The planes that enter the indirect-pass
         # decomposition (combined - direct - emit - reflect - refract)
         # are accumulated FILTER-WEIGHTED, exactly like wsum, so the
@@ -930,12 +944,13 @@ def make_sample_step(static, camera, cfg: RenderConfig,
                 val = val[..., None]
             if name in FILTER_WEIGHTED_AOVS:
                 vs = val.reshape(spb, h, w, val.shape[-1])
-                plane = film[key]
+                # same two-level scheme as wsum (f32 stagnation)
+                plane = jnp.zeros_like(film[key])
                 for k in range(spb):
                     plane = splat_plane(plane, vs[k], dxs[k], dys[k],
                                         actf, cfg.filter_type,
                                         cfg.aa_pixelwidth)
-                film[key] = plane
+                film[key] = film[key] + plane
             else:
                 # full per-batch sum — nsamples counts every spb sample,
                 # so the flush-time /nsamples needs the undivided sum
