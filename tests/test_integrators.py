@@ -463,3 +463,28 @@ TILT=NONE
     assert (fs >= 0.45).all() and (fs <= 1.05).all()
     # azimuth dependence exists on the ring
     assert abs(fs[0] - fs[1]) > 1e-6 or True  # frame-dependent; sanity
+
+
+def test_qmc_seed_decorrelates_streams():
+    """qmc_seed (r3, bench_time_to_rmse golden protocol): same seed is
+    bitwise reproducible, different seeds give independent sampler
+    streams whose images agree in mean but differ per pixel."""
+    s = _sphere_scene(
+        {"type": "shinydiffusemat", "color": (0.7, 0.7, 0.7)},
+        {"type": "constant", "color": (1.0, 1.0, 1.0), "ibl": True},
+        res=16,
+    )
+    s.render_params["AA_minsamples"] = 16
+
+    def render_seed(seed):
+        s.render_params["qmc_seed"] = seed
+        cfg = build_config(s)
+        return np.asarray(render(s.compile(), cfg).image)
+
+    a0 = render_seed(0)
+    a0b = render_seed(0)
+    a1 = render_seed(1)
+    assert np.array_equal(a0, a0b)  # deterministic per seed
+    d = np.abs(a0 - a1)
+    assert d.max() > 1e-5            # streams actually differ...
+    assert abs(a0.mean() - a1.mean()) < 0.02  # ...but estimate the same
