@@ -134,10 +134,15 @@ def main(argv=None):
         from ..io.image import save_multilayer_exr
 
         layers = {"": result.image}
+        if result.alpha is not None:
+            layers["alpha"] = result.alpha[..., None]
         layers.update(passes)
         save_multilayer_exr(out, layers)
     else:
         img = result.image
+        alpha = result.alpha
+        if alpha is not None and getattr(result.cfg, "premult_alpha", False):
+            img = img * alpha[..., None]
         if args.badge:
             from ..utils.observability import draw_badge
             from .. import __version__
@@ -150,7 +155,8 @@ def main(argv=None):
                 f" | {result.mrays_per_sec:.1f} Mrays/s",
             ])
         save_image(out, img,
-                   color_space=result.cfg.color_space, gamma=result.cfg.gamma)
+                   color_space=result.cfg.color_space, gamma=result.cfg.gamma,
+                   alpha=alpha)
         for name, plane in passes.items():
             base, ext = os.path.splitext(out)
             if plane.shape[-1] == 1:

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from .filters import eval_filter_2d, filter_radius
 
 
-def film_init(h: int, w: int, with_density: bool = False) -> dict:
+def film_init(h: int, w: int, with_density: bool = False,
+              with_alpha: bool = False) -> dict:
     film = dict(
         wsum=jnp.zeros((h, w, 3), jnp.float32),
         w=jnp.zeros((h, w), jnp.float32),
@@ -38,6 +39,11 @@ def film_init(h: int, w: int, with_density: bool = False) -> dict:
     )
     if with_density:
         film["density"] = jnp.zeros((h, w, 3), jnp.float32)
+    if with_alpha:
+        # coverage/alpha plane (reference colorA_t alpha accumulated in
+        # the film; bg_transp/bg_transp_refract semantics) — filter-
+        # weighted like wsum, normalized by the same w at flush
+        film["alpha"] = jnp.zeros((h, w, 1), jnp.float32)
     return film
 
 
@@ -111,6 +117,15 @@ def film_image(film: dict) -> jnp.ndarray:
     if "density" in film:
         img = img + film["density"]
     return img
+
+
+def film_alpha(film: dict):
+    """Weighted-mean alpha (H,W) in [0,1], or None if the film carries no
+    alpha plane.  Pixels with no samples read 0 (fully transparent)."""
+    if "alpha" not in film:
+        return None
+    return jnp.clip(
+        film["alpha"][..., 0] / jnp.maximum(film["w"], 1e-8), 0.0, 1.0)
 
 
 def compute_aa_flags(film: dict, threshold: float,

@@ -46,6 +46,11 @@ class RenderConfig:
     shadow_depth: int = 5
     transp_shad: bool = False
     transp_background: bool = False
+    # transparent background through refracted specular chains + output
+    # alpha premultiply (reference render params bg_transp_refract /
+    # premult, imageOutput alpha handling)
+    bg_transp_refract: bool = False
+    premult_alpha: bool = False
     # pathtracing
     path_samples: int = 1
     bounces: int = 4
@@ -144,6 +149,9 @@ def config_from_params(render: ParamMap, integ: ParamMap,
         shadow_depth=integ.get_int("shadowDepth", 5),
         transp_shad=integ.get_bool("transpShad", False),
         transp_background=render.get_bool("bg_transp", False),
+        bg_transp_refract=render.get_bool("bg_transp_refract", False),
+        premult_alpha=render.get_bool(
+            "premult", render.get_bool("alpha_premultiply", False)),
         path_samples=max(1, integ.get_int("path_samples", 32)),
         bounces=integ.get_int("bounces", 4),
         rr_min_bounces=integ.get_int("russian_roulette_min_bounces", 3),

@@ -524,8 +524,8 @@ def make_sample_step(static, camera, cfg: RenderConfig,
         """One path vertex: intersect, add bg/emission (MIS), NEE, sample
         the continuation.  `state` carries the wavefront lanes."""
         (org, dirn, throughput, alive, spec_mask, prev_pdf, medium_sigma,
-         wavelength, cone_w, cone_spread, tag, caustic_state, L_refl,
-         L_refr, L, nrays) = state
+         wavelength, cone_w, cone_spread, tag, caustic_state, track, transp,
+         L_refl, L_refr, L, nrays) = state
 
         def addL(Lt, Lr1, Lr2, x, mask):
             # tagged accumulation for the reflect/refract render passes:
@@ -580,6 +580,13 @@ def make_sample_step(static, camera, cfg: RenderConfig,
             bg = bg * jnp.where(spec_mask, 1.0, 0.0)[..., None]
         L, L_refl, L_refr = addL(L, L_refl, L_refr, throughput * bg,
                                  escape)
+        # alpha/coverage: a lane whose camera-visibility chain (primary
+        # ray + null passthrough + straight-through transparency +
+        # refracted chains when bg_transp_refract) reaches the background
+        # ends transparent (reference bg_transp semantics; material
+        # getAlpha is realized by the MC sampling of the transparency
+        # component — fractional alpha emerges across samples)
+        transp = transp | (escape & track)
         alive = alive & hit.hit
 
         sp = _surface_point(scene_arrays, hit, org, dirn, fp=fp)
@@ -775,6 +782,15 @@ def make_sample_step(static, camera, cfg: RenderConfig,
         dirn = smp["wi"]
         # null pass-through keeps the MIS state of the last REAL vertex
         pt = smp["passthrough"]
+        # camera-visibility tracking for the alpha plane: survives null
+        # passthrough and straight-through transparency (wi == -wo, the
+        # shinydiffuse transparency component / fake glass); refracted
+        # specular chains keep it only under bg_transp_refract
+        straight = pt | (smp["specular"] & smp["transmit"]
+                         & (vmath.dot(smp["wi"], -wo) > 0.999999))
+        if cfg.bg_transp_refract:
+            straight = straight | (smp["specular"] & smp["transmit"])
+        track = track & straight
         spec_mask = jnp.where(pt, spec_mask, smp["specular"])
         prev_pdf = jnp.where(pt, prev_pdf, smp["pdf"])
         # cone grows at non-specular scatters by the lobe's angular spread
@@ -806,7 +822,7 @@ def make_sample_step(static, camera, cfg: RenderConfig,
         nrays = nrays + jnp.sum(alive.astype(jnp.float32))
         state = (org, dirn, throughput, alive, spec_mask, prev_pdf,
                  medium_sigma, wavelength, cone_w, cone_spread, tag,
-                 caustic_state, L_refl, L_refr, L, nrays)
+                 caustic_state, track, transp, L_refl, L_refr, L, nrays)
         if first:
             # primary-hit attributes for render passes / AOVs (§2.11).
             # NU/NV = the shading frame orthonormalized from the TRUE
@@ -869,6 +885,8 @@ def make_sample_step(static, camera, cfg: RenderConfig,
             jnp.full((n,), cone0_s, jnp.float32),  # ray-cone spread
             jnp.zeros((n,), jnp.int32),  # reflect/refract pass tag
             jnp.zeros((n,), jnp.int32),  # caustic_state (bidir partition)
+            jnp.ones((n,), jnp.bool_),  # track (alpha camera-visibility)
+            jnp.zeros((n,), jnp.bool_),  # transp (ended on background)
             jnp.zeros((n, 3), jnp.float32),  # L via bounce-0 reflect
             jnp.zeros((n, 3), jnp.float32),  # L via bounce-0 refract
             jnp.zeros((n, 3), jnp.float32),  # L
@@ -922,6 +940,18 @@ def make_sample_step(static, camera, cfg: RenderConfig,
                     w=film["w"] + frag["w"],
                     nsamples=film["nsamples"] + frag["nsamples"],
                     rays=film.get("rays", 0.0) + nrays)
+        if "alpha" in film:
+            from ..film.imagefilm import splat_plane as _splat_plane
+
+            transp_l = state[13]
+            a_val = jnp.where(transp_l | (wt <= 0.0), 0.0, 1.0)
+            avs = a_val.reshape(spb, h, w, 1)
+            aplane = jnp.zeros_like(film["alpha"])
+            for k in range(spb):
+                aplane = _splat_plane(aplane, avs[k], dxs[k], dys[k],
+                                      flags.astype(jnp.float32),
+                                      cfg.filter_type, cfg.aa_pixelwidth)
+            film["alpha"] = film["alpha"] + aplane
         # AOV planes.  The planes that enter the indirect-pass
         # decomposition (combined - direct - emit - reflect - refract)
         # are accumulated FILTER-WEIGHTED, exactly like wsum, so the

@@ -32,6 +32,15 @@ class RenderResult:
         return np.asarray(film_image(self.film))
 
     @property
+    def alpha(self):
+        """(H,W) alpha/coverage plane, or None when the render carried no
+        alpha (bg_transp off)."""
+        from ..film.imagefilm import film_alpha
+
+        a = film_alpha(self.film)
+        return None if a is None else np.asarray(a)
+
+    @property
     def passes(self) -> dict:
         """name -> (H,W,C) numpy AOV planes (film/passes.py)."""
         from ..film.passes import extract_passes
@@ -101,7 +110,8 @@ def render(cscene: CompiledScene, cfg: RenderConfig,
     step = make_sample_step(cscene.static, cscene.camera, cfg,
                             caustic=caustic)
 
-    film = film_init(cfg.height, cfg.width)
+    film = film_init(cfg.height, cfg.width,
+                     with_alpha=cfg.transp_background)
     film["rays"] = jnp.zeros((), jnp.float32)
     if cfg.passes:
         from ..film.passes import film_add_passes
