@@ -39,6 +39,11 @@ class BackgroundSpec:
     rotation: float = 0.0
     ibl: bool = False
     ibl_samples: int = 16
+    # ibl_blur (v3.2+ textureback): gaussian prefilter of the env map used
+    # by the IBL LIGHTING lookups (NEE samples, portal radiance, CDF) —
+    # the directly-visible background stays sharp.  Quadratic response:
+    # sigma_uv = ibl_blur² / 2 (reference blurs a mip copy; approximation)
+    ibl_blur: float = 0.0
     with_caustic: bool = True
     with_diffuse: bool = True
 

@@ -62,6 +62,7 @@ def background_from_params(params: ParamMap, textures: dict | None = None):
             rotation=params.get_float("rotation", 0.0),
             ibl=params.get_bool("ibl", False),
             ibl_samples=params.get_int("ibl_samples", 16),
+            ibl_blur=params.get_float("ibl_blur", 0.0),
         )
         return spec, img
 
@@ -71,3 +72,17 @@ def background_from_params(params: ParamMap, textures: dict | None = None):
 
     log.warning("unknown background type %r; black", btype)
     return BackgroundSpec(), None
+
+
+def blur_env_map(img: np.ndarray, ibl_blur: float) -> np.ndarray:
+    """Host-side gaussian prefilter of a lat-long map for ibl_blur:
+    wrap in longitude, clamp in latitude; sigma_uv = ibl_blur²/2."""
+    from scipy.ndimage import gaussian_filter1d
+
+    img = np.asarray(img, np.float32)
+    h, w = img.shape[:2]
+    sig_u = 0.5 * ibl_blur * ibl_blur * w
+    sig_v = 0.5 * ibl_blur * ibl_blur * h
+    out = gaussian_filter1d(img, max(sig_u, 1e-3), axis=1, mode="wrap")
+    out = gaussian_filter1d(out, max(sig_v, 1e-3), axis=0, mode="nearest")
+    return out.astype(np.float32)

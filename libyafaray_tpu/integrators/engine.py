@@ -289,8 +289,10 @@ def _sample_one_light(scene_arrays, static, li, ls, lrow, p, u1, u2):
             scene_arrays["tri_pos"], ls.tri_start,
             ls.tri_start + ls.tri_count, axis=0)
         smp = lightmod.sample_mesh_light(lrow, p, u1, u2, tri_cdf, tri_pos)
-        bg = eval_background(static.bg, scene_arrays.get("bg_image"),
-                             smp["wi"])
+        bg = eval_background(
+            static.bg,
+            scene_arrays.get("bg_image_ibl", scene_arrays.get("bg_image")),
+            smp["wi"])
         smp["li"] = bg * lrow["power"]
         return smp
     if ls.ltype == lightmod.LT_MESH:

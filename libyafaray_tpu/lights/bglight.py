@@ -58,7 +58,7 @@ def sample_bg_light(arrays, spec, p, u1, u2):
     prob = arrays["bg_alias_prob"]
     alias = arrays["bg_alias"]
     pdf_grid = arrays["bg_pdf_grid"]
-    img = arrays["bg_image"]
+    img = arrays.get("bg_image_ibl", arrays["bg_image"])  # ibl_blur
     h, w = pdf_grid.shape
 
     from .alias import sample_alias

@@ -648,10 +648,18 @@ class Scene:
 
         if bg_img is not None:
             arrays["bg_image"] = np.asarray(bg_img, np.float32)
+            if getattr(bg_spec, "ibl_blur", 0.0) > 0.0:
+                # ibl_blur: lighting lookups (NEE/portal/CDF) read the
+                # blurred copy; the visible background stays sharp
+                from ..backgrounds.factory import blur_env_map
+
+                arrays["bg_image_ibl"] = blur_env_map(bg_img,
+                                                      bg_spec.ibl_blur)
         if bg_spec.ibl and bg_img is not None:
             from ..lights.bglight import build_bg_cdf
 
-            arrays.update(build_bg_cdf(bg_img))
+            arrays.update(build_bg_cdf(
+                arrays.get("bg_image_ibl", bg_img)))
         arrays.update(extra_light_arrays)
         for li, r in enumerate(all_lights):
             if "_ies_profile" in r:

@@ -488,3 +488,47 @@ def test_qmc_seed_decorrelates_streams():
     d = np.abs(a0 - a1)
     assert d.max() > 1e-5            # streams actually differ...
     assert abs(a0.mean() - a1.mean()) < 0.02  # ...but estimate the same
+
+
+def test_ibl_blur_lighting_blurred_visible_sharp():
+    """ibl_blur (textureback v3.2+): the IBL lighting path (CDF + NEE
+    radiance) reads a gaussian-prefiltered env copy while the visible
+    background stays sharp; blurring must ~conserve lighting energy."""
+    from libyafaray_tpu.backgrounds.factory import blur_env_map
+    from libyafaray_tpu.backgrounds.base import (BackgroundSpec, BG_TEXTURE,
+                                                 eval_background)
+    from libyafaray_tpu.lights.bglight import build_bg_cdf, sample_bg_light
+
+    img = np.zeros((32, 64, 3), np.float32)
+    img[14, 10] = 50.0  # near-equator bright texel
+    blur = blur_env_map(img, 0.3)
+    assert blur.max() < 0.5 * img.max()          # actually spread out
+    assert abs(blur.sum() / img.sum() - 1.0) < 0.02  # energy preserved
+
+    arrays = {k: jnp.asarray(v) for k, v in build_bg_cdf(blur).items()}
+    arrays["bg_image"] = jnp.asarray(img)
+    arrays["bg_image_ibl"] = jnp.asarray(blur)
+    spec = BackgroundSpec(bg_type=BG_TEXTURE, power=1.0, ibl=True,
+                          ibl_blur=0.3)
+    rng = np.random.default_rng(7)
+    n = 4096
+    p = jnp.zeros((n, 3), jnp.float32)
+    smp = sample_bg_light(arrays, spec, p,
+                          jnp.asarray(rng.random(n), jnp.float32),
+                          jnp.asarray(rng.random(n), jnp.float32))
+    li = np.asarray(smp["li"])
+    # NEE radiance comes from the blurred copy: no sample sees the raw peak
+    assert li.max() < 0.5 * 50.0
+    # E[li/pdf] = integral of the blurred env ~ integral of the sharp env
+    est = (li[:, 0] / np.asarray(smp["pdf"])).mean()
+    theta = (14 + 0.5) / 32 * np.pi
+    ref = 50.0 * np.sin(theta) * (np.pi / 32) * (2 * np.pi / 64)
+    assert abs(est / ref - 1.0) < 0.10, (est, ref)
+    # the camera-visible background still evaluates the SHARP image
+    d_peak = np.zeros((1, 3), np.float32)
+    th, ph = theta, (10 + 0.5) / 64 * 2 * np.pi
+    d_peak[0] = [np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph),
+                 np.cos(th)]
+    vis = np.asarray(eval_background(spec, arrays["bg_image"],
+                                     jnp.asarray(d_peak)))
+    assert vis.max() > 49.0
