@@ -51,6 +51,8 @@ class Camera:
     aspect_ratio: float = 1.0
     angle_deg: float = 90.0  # angular camera fov
     circular: bool = True  # angular camera mask
+    mirrored: bool = False  # angular: horizontally mirrored projection
+    max_angle_deg: float = 0.0  # angular: mask half-angle (0 = angle)
     scale: float = 1.0  # ortho scale
     near_clip: float = 0.0
     far_clip: float = -1.0
@@ -158,16 +160,20 @@ def shoot_rays(cam: Camera, px, py, lu, lv):
 
     if cam.cam_type == CAM_ANGULAR:
         half = 0.5 * cam.angle_deg * jnp.pi / 180.0
-        r = jnp.sqrt(u * u + (v * aspect) * (v * aspect)) * 2.0
+        ua = -u if cam.mirrored else u  # reference `mirrored` x-flip
+        r = jnp.sqrt(ua * ua + (v * aspect) * (v * aspect)) * 2.0
         theta = r * half
-        phi = jnp.arctan2(v * aspect, u)
+        phi = jnp.arctan2(v * aspect, ua)
         d = (
             (jnp.sin(theta) * jnp.cos(phi))[..., None] * right
             + (jnp.sin(theta) * jnp.sin(phi))[..., None] * up
             + jnp.cos(theta)[..., None] * fwd
         )
         if cam.circular:
-            weight = jnp.where(r <= 1.0, weight, 0.0)
+            # reference `max_angle`: circular mask half-angle, default fov/2
+            max_half = (0.5 * cam.max_angle_deg * jnp.pi / 180.0
+                        if cam.max_angle_deg > 0.0 else half)
+            weight = jnp.where(theta <= max_half + 1e-7, weight, 0.0)
         return org0 + jnp.zeros_like(d), vmath.normalize(d), weight
 
     if cam.cam_type == CAM_ORTHO:

@@ -43,6 +43,8 @@ def camera_from_params(params: ParamMap) -> Camera:
         aspect_ratio=params.get_float("aspect_ratio", 1.0),
         angle_deg=params.get_float("angle", 90.0),
         circular=params.get_bool("circular", True),
+        mirrored=params.get_bool("mirrored", False),
+        max_angle_deg=params.get_float("max_angle", 0.0),
         scale=params.get_float("scale", 1.0),
         near_clip=params.get_float("nearClip", 0.0),
         far_clip=params.get_float("farClip", -1.0),

@@ -131,7 +131,8 @@ def film_alpha(film: dict):
 def compute_aa_flags(film: dict, threshold: float,
                      dark_detection: str = "none",
                      dark_factor: float = 1.0,
-                     detect_color_noise: bool = False) -> jnp.ndarray:
+                     detect_color_noise: bool = False,
+                     threshold_scale=None) -> jnp.ndarray:
     """Per-pixel resample flags for the next adaptive pass (reference
     imagefilm AA noise detection, SURVEY App. B): flag when the max-channel
     delta to any 4-neighbor exceeds the threshold; dark-detection variants
@@ -139,6 +140,10 @@ def compute_aa_flags(film: dict, threshold: float,
     (the reference flags neighbors of noisy pixels too)."""
     img = film_image(film)
     thr = jnp.float32(threshold)
+    if threshold_scale is not None:
+        # per-pixel scale (material samplingFactor: factor>1 lowers the
+        # threshold there, driving more adaptive resampling)
+        thr = thr * threshold_scale
     if dark_detection == "linear":
         bri = jnp.mean(img, axis=-1)
         thr = thr * jnp.clip(bri * dark_factor, 0.25, 1.0)

@@ -502,7 +502,13 @@ def make_sample_step(static, camera, cfg: RenderConfig,
     h, w = cfg.height, cfg.width
     spb = max(1, cfg.spp_batch)
     n = h * w * spb
-    n_bounces = (cfg.bounces if mode == "path" else cfg.raydepth)
+    base_bounces = (cfg.bounces if mode == "path" else cfg.raydepth)
+    # per-material additionalDepth (reference material.h): the scan is
+    # extended by the table's max and lanes are gated per-lane on a
+    # depth budget raised at vertices of high-additionalDepth materials.
+    # extra == 0 (the common case) compiles to the r2 graph unchanged.
+    extra_depth = int(getattr(static, "max_additional_depth", 0))
+    n_bounces = base_bounces + extra_depth
     has_bg_light = any(
         ls.ltype == lightmod.LT_BACKGROUND and ls.enabled
         for ls in static.lights
@@ -527,7 +533,7 @@ def make_sample_step(static, camera, cfg: RenderConfig,
         the continuation.  `state` carries the wavefront lanes."""
         (org, dirn, throughput, alive, spec_mask, prev_pdf, medium_sigma,
          wavelength, cone_w, cone_spread, tag, caustic_state, track, transp,
-         L_refl, L_refr, L, nrays) = state
+         depth_limit, L_refl, L_refr, L, nrays) = state
 
         def addL(Lt, Lr1, Lr2, x, mask):
             # tagged accumulation for the reflect/refract render passes:
@@ -601,6 +607,14 @@ def make_sample_step(static, camera, cfg: RenderConfig,
             sp["win"] = jnp.stack([pxw / w, pyw / h], axis=-1)
         wo = -dirn
         row = gather_rows(mats, sp["mat"])
+        if extra_depth > 0:
+            # reaching a material with additionalDepth raises this lane's
+            # depth budget (reference: raydepth + mat->additionalDepth)
+            depth_limit = jnp.where(
+                alive,
+                jnp.maximum(depth_limit,
+                            base_bounces + row["additional_depth"]),
+                depth_limit)
         if static.textures or getattr(static, "node_programs", ()):
             # initBSDF analog: shader-node/texture overrides + bump
             from ..textures.eval import apply_textures, bump_normal
@@ -821,10 +835,17 @@ def make_sample_step(static, camera, cfg: RenderConfig,
                       jnp.where(smp["specular"], 2, 1),
                       jnp.where((caustic_state == 1) & ~smp["specular"],
                                 2, caustic_state)))
+        if extra_depth > 0:
+            # per-lane depth gate: the next vertex index must fit the
+            # lane's budget (lanes that never met an additionalDepth
+            # material terminate at base_bounces exactly as before)
+            nxt = jnp.asarray(bounce_idx, jnp.float32) + 1.0
+            alive = alive & (nxt <= depth_limit)
         nrays = nrays + jnp.sum(alive.astype(jnp.float32))
         state = (org, dirn, throughput, alive, spec_mask, prev_pdf,
                  medium_sigma, wavelength, cone_w, cone_spread, tag,
-                 caustic_state, track, transp, L_refl, L_refr, L, nrays)
+                 caustic_state, track, transp, depth_limit, L_refl, L_refr,
+                 L, nrays)
         if first:
             # primary-hit attributes for render passes / AOVs (§2.11).
             # NU/NV = the shading frame orthonormalized from the TRUE
@@ -843,6 +864,10 @@ def make_sample_step(static, camera, cfg: RenderConfig,
                 geo_normal=jnp.where(hit.hit[..., None], ng_sh, 0.0),
                 uv=jnp.where(hit.hit[..., None], sp["uv"], 0.0),
                 mat_index=sp["mat"].astype(jnp.float32) * hit.hit,
+                # primary-hit samplingFactor (reference material.h):
+                # feeds the adaptive-AA threshold scale (render.py)
+                samp_factor=jnp.where(hit.hit, row["sampling_factor"],
+                                      1.0),
                 obj_index=sp["tri"].astype(jnp.float32) * hit.hit,
                 diffuse_color=jnp.where(hit.hit[..., None],
                                         row["diffuse_color"], 0.0),
@@ -889,6 +914,7 @@ def make_sample_step(static, camera, cfg: RenderConfig,
             jnp.zeros((n,), jnp.int32),  # caustic_state (bidir partition)
             jnp.ones((n,), jnp.bool_),  # track (alpha camera-visibility)
             jnp.zeros((n,), jnp.bool_),  # transp (ended on background)
+            jnp.full((n,), float(base_bounces), jnp.float32),  # depth_limit
             jnp.zeros((n, 3), jnp.float32),  # L via bounce-0 reflect
             jnp.zeros((n, 3), jnp.float32),  # L via bounce-0 refract
             jnp.zeros((n, 3), jnp.float32),  # L

@@ -117,6 +117,13 @@ def render(cscene: CompiledScene, cfg: RenderConfig,
         from ..film.passes import film_add_passes
 
         film = film_add_passes(film, cfg.height, cfg.width, cfg.passes)
+    if (cfg.aa_passes > 1
+            and getattr(cscene.static, "has_sampling_factor", False)):
+        # per-material samplingFactor (reference material.h): accumulate
+        # the primary-hit factor as a mean plane; adaptive passes scale
+        # the AA threshold down by it so high-factor materials resample
+        film.setdefault("aov_samp_factor",
+                        jnp.zeros((cfg.height, cfg.width, 1), jnp.float32))
     start_pass = 0
 
     if cfg.film_save_load in ("load", "load-save") and film_path:
@@ -176,9 +183,14 @@ def render(cscene: CompiledScene, cfg: RenderConfig,
             n_steps = -(-cfg.aa_samples // spb)
         else:
             thr = cfg.aa_threshold
+            thr_scale = None
+            if "aov_samp_factor" in film:
+                sfac = (film["aov_samp_factor"][..., 0]
+                        / jnp.maximum(film["nsamples"], 1.0))
+                thr_scale = 1.0 / jnp.maximum(sfac, 1e-3)
             flags = compute_aa_flags(
                 film, thr, cfg.aa_dark_detection, cfg.aa_dark_factor,
-                cfg.aa_detect_color_noise,
+                cfg.aa_detect_color_noise, threshold_scale=thr_scale,
             )
             n_steps = max(1, round(-(-cfg.aa_inc_samples // spb)
                                    * (f_aa ** p)))

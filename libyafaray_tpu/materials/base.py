@@ -64,6 +64,11 @@ _SCALAR_COLS = [
     "emit_strength", "ior", "sigma", "exponent", "exp_u", "exp_v",
     "glossy_reflect", "dispersion_power", "blend_value", "mask_threshold",
     "wireframe_amount", "tex_colorfac", "bump_strength",
+    # per-material sampling controls (reference material.h [M]):
+    # additionalDepth extends the ray-depth budget for paths that passed
+    # through the material; samplingFactor raises adaptive-AA resampling
+    # priority where the material is primarily visible
+    "sampling_factor", "additional_depth",
 ]
 _VEC3_COLS = [
     "diffuse_color", "mirror_color", "glossy_color", "filter_color",
@@ -73,7 +78,7 @@ _INT_COLS = ["mtype", "sub_mat1", "sub_mat2", "tex_blend_mode",
              # shader-node slots (texture index, -1 = none)
              "tex_diffuse", "tex_glossy", "tex_bump", "tex_mirror",
              "tex_transparency", "tex_translucency", "tex_blend", "tex_mask",
-             "tex_sigma_oren",
+             "tex_sigma_oren", "tex_ior",
              # compiled node-DAG program index (textures/nodes.py; -1 none)
              "node_prog"]
 _BOOL_COLS = ["fresnel_effect", "anisotropic", "as_diffuse", "fake_shadows",
@@ -93,6 +98,7 @@ def default_row() -> dict:
     row["receive_shadows"] = True
     row["tex_colorfac"] = 1.0
     row["tex_blend_mode"] = 0  # mix
+    row["sampling_factor"] = 1.0
     return row
 
 

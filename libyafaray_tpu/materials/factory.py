@@ -52,6 +52,13 @@ def material_row_from_params(params: ParamMap, mat_name_to_id: dict,
     row["ior"] = params.get_float("IOR", 1.0)
     row["sigma"] = params.get_float("sigma", 0.0)
     row["receive_shadows"] = params.get_bool("receive_shadows", True)
+    # per-material sampling controls (reference material.h: additionalDepth
+    # raises the ray-depth budget for paths through this material;
+    # samplingFactor scales adaptive-AA resampling priority)
+    row["sampling_factor"] = params.get_float(
+        "samplingfactor", params.get_float("sampling_factor", 1.0))
+    row["additional_depth"] = float(params.get_int(
+        "additionaldepth", params.get_int("additional_depth", 0)))
 
     # glossy family
     row["glossy_color"] = params.get_rgb("glossy_color", (1.0, 1.0, 1.0))
@@ -167,6 +174,7 @@ def material_row_from_params(params: ParamMap, mat_name_to_id: dict,
         ("tex_translucency", "translucency_shader"),
         ("tex_blend", "blend_shader"), ("tex_mask", "mask_shader"),
         ("tex_sigma_oren", "sigma_oren_shader"),
+        ("tex_ior", "IOR_shader"),
     ):
         sh = params.get_str(key, "")
         if not sh:
@@ -190,7 +198,7 @@ def material_row_from_params(params: ParamMap, mat_name_to_id: dict,
         slot_refs = {k: params.get_str(k, "") for k in (
             "diffuse_shader", "glossy_shader", "mirror_color_shader",
             "transparency_shader", "translucency_shader", "blend_shader",
-            "sigma_oren_shader")}
+            "sigma_oren_shader", "IOR_shader")}
         if any(slot_refs.values()):
             prog = parse_node_graph(params.get_list("__list__", []),
                                     tex_name_to_id, slot_refs)

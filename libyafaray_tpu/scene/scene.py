@@ -72,6 +72,8 @@ class SceneStatic:
     n_stris_real: int = 0  # shadow set, real count (tiny-kernel dispatch)
     need_orco: bool = False   # some texco is orco/object -> gather pack
     need_window: bool = False  # some texco is window -> raster projection
+    max_additional_depth: int = 0  # max material additionalDepth in table
+    has_sampling_factor: bool = False  # any material samplingFactor != 1
 
 
 @dataclass
@@ -723,6 +725,12 @@ class Scene:
             n_spheres=len(self.analytic_spheres),
             need_orco=need_orco,
             need_window=need_window,
+            max_additional_depth=int(max(
+                (r.get("additional_depth", 0.0) for r in self.materials),
+                default=0)),
+            has_sampling_factor=any(
+                abs(r.get("sampling_factor", 1.0) - 1.0) > 1e-9
+                for r in self.materials),
         )
         cam = next(iter(self.cameras.values())) if self.cameras else Camera()
         cam_name = self.render_params.get_str("camera_name", "")

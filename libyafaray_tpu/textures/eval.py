@@ -447,7 +447,10 @@ def apply_textures(scene_arrays, static, row, sp):
     slots_scalar = (("tex_transparency", "transparency"),
                     ("tex_translucency", "translucency"),
                     ("tex_blend", "blend_value"),
-                    ("tex_sigma_oren", "sigma"))
+                    ("tex_sigma_oren", "sigma"),
+                    # IOR_shader (reference shinydiff [M]): the shader's
+                    # scalar value IS the per-lane fresnel IOR
+                    ("tex_ior", "ior"))
     for ti in range(len(static.textures)):
         tex_val = None  # lazily evaluated per texture
 
@@ -481,6 +484,7 @@ def apply_textures(scene_arrays, static, row, sp):
             "translucency_shader": ("translucency", True),
             "blend_shader": ("blend_value", True),
             "sigma_oren_shader": ("sigma", True),
+            "IOR_shader": ("ior", True),
         }
         for pi, prog in enumerate(progs):
             mask = row["node_prog"] == pi
