@@ -73,9 +73,6 @@ class RenderConfig:
     fg_samples: int = 32
     fg_bounces: int = 2
     photon_bounces: int = 5
-    # bidirectional: full (s,t)-MIS Veach BDPT (integrators/veach.py) or
-    # the deterministic caustic-partition variant (integrators/bidir.py)
-    bd_full_mis: bool = True
     # SPPM
     sppm_passes: int = 8
     sppm_photons: int = 300000
@@ -172,7 +169,6 @@ def config_from_params(render: ParamMap, integ: ParamMap,
         fg_samples=integ.get_int("fg_samples", 32),
         fg_bounces=integ.get_int("fg_bounces", 2),
         photon_bounces=integ.get_int("bounces", 5),
-        bd_full_mis=integ.get_bool("full_mis", True),
         sppm_passes=integ.get_int("passNums", 8),
         sppm_photons=integ.get_int("photons", 300000),
         sppm_initial_radius=integ.get_float("initialRadius", 0.0),

@@ -96,15 +96,8 @@ def render_scene(scene: Scene, progress_cb=None,
 
         return render_debug(cscene, cfg)
     if cfg.integrator == "bidirectional":
-        if cfg.bd_full_mis:
-            from ..integrators.veach import render_bdpt
+        from ..integrators.veach import render_bdpt
 
-            return render_bdpt(cscene, cfg, progress_cb=progress_cb,
-                               film_path=film_path, mesh=mesh)
-        from ..integrators.bidir import render_bidirectional
-
-        # bidir light tracing is lane-compacted on one device; the eye
-        # phase dominates and runs replicated — single-device for now
-        return render_bidirectional(cscene, cfg, progress_cb=progress_cb,
-                                    film_path=film_path)
+        return render_bdpt(cscene, cfg, progress_cb=progress_cb,
+                           film_path=film_path, mesh=mesh)
     raise ValueError(f"unknown integrator {cfg.integrator!r}")

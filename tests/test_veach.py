@@ -12,7 +12,7 @@ from libyafaray_tpu.scene.params import ParamMap
 from libyafaray_tpu.scene.scene import Scene
 
 
-def _scene(integrator, extra_mats=(), sphere_mat=None, full_mis=True,
+def _scene(integrator, extra_mats=(), sphere_mat=None,
            power=8.0, res=32, spp=8, lights=None):
     """lights: None -> the default area light; otherwise a list of
     (name, params) created INSTEAD (never clear s.lights after creation —
@@ -46,7 +46,7 @@ def _scene(integrator, extra_mats=(), sphere_mat=None, full_mis=True,
         "up": (0.0, -5.0, 2.2), "focal": 1.4}))
     s.create_integrator("default", ParamMap({
         "type": integrator, "bounces": 3, "raydepth": 4,
-        "full_mis": full_mis, "photons": 8192, "photon_bounces": 4}))
+        "photons": 8192, "photon_bounces": 4}))
     s.render_params = ParamMap({
         "width": res, "height": res, "AA_minsamples": spp,
         "integrator_name": "default", "camera_name": "cam"})
