@@ -3,22 +3,27 @@ maskmat.cc — SURVEY §2.4).
 
 blend_mat delegates every BSDF call to two child materials with
 interpolated weights; mask_mat switches binarily by a texture threshold.
-Wavefront resolution: when the scene contains any blend/mask material
-(static flag), the shading wrappers below gather BOTH child rows and
-  eval/pdf  -> lerp of the children's values
-  sample    -> stochastic child pick (prob = blend factor), with the
-               mixture pdf for MIS
-One nesting level is resolved (a blend of blends warns at factory time) —
-matching practical reference usage.
+Wavefront resolution: when the scene contains composites, the shading
+wrappers below gather the child rows and
+  eval/pdf/emit -> lerp of the children's values (recursive: a child
+                   that is itself a blend expands one more level)
+  sample        -> stochastic descent (prob = blend factor per level,
+                   u_lobe remapped to keep stratification) to a LEAF
+                   row, with the full mixture pdf for MIS
+`depth` is the static MAX NESTING DEPTH from scene compile
+(scene.py _blend_depth — reference blendmat.cc composes arbitrary
+children, including other blends); the recursion unrolls 2^depth leaf
+evals for eval/pdf, so compile cost grows with real nesting only.
 The blend factor comes from row["blend_value"], which apply_textures has
-already overridden from the blend_shader slot when mapped; mask_mat
-thresholds the mask texture the same way.
+already overridden from the blend_shader slot when mapped (top-level
+material only — NESTED blends' factors are their static table values;
+shader-mapped factors below level 1 are a documented limitation);
+mask_mat thresholds the mask texture the same way.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core import math as vmath
 from . import bsdf
 from .base import MT_BLEND, MT_MASK, gather_rows
 
@@ -43,71 +48,77 @@ def _child_rows(mats, row):
     return ra, rb
 
 
-def eval_bsdf(mats, row, n, ng, wo, wi, has_blend: bool,
-              families=None):
+def eval_bsdf(mats, row, n, ng, wo, wi, depth: int, families=None):
     f = bsdf.eval_bsdf(row, n, ng, wo, wi, families=families)
-    if not has_blend:
+    if not depth:
         return f
     comp = _is_composite(row)
     ra, rb = _child_rows(mats, row)
     a = _blend_factor(row)[..., None]
-    fa = bsdf.eval_bsdf(ra, n, ng, wo, wi, families=families)
-    fb = bsdf.eval_bsdf(rb, n, ng, wo, wi, families=families)
+    fa = eval_bsdf(mats, ra, n, ng, wo, wi, depth - 1, families=families)
+    fb = eval_bsdf(mats, rb, n, ng, wo, wi, depth - 1, families=families)
     return jnp.where(comp[..., None], (1.0 - a) * fa + a * fb, f)
 
 
-def pdf_bsdf(mats, row, n, ng, wo, wi, has_blend: bool,
-             families=None):
+def pdf_bsdf(mats, row, n, ng, wo, wi, depth: int, families=None):
     p = bsdf.pdf_bsdf(row, n, ng, wo, wi, families=families)
-    if not has_blend:
+    if not depth:
         return p
     comp = _is_composite(row)
     ra, rb = _child_rows(mats, row)
     a = _blend_factor(row)
-    pa = bsdf.pdf_bsdf(ra, n, ng, wo, wi, families=families)
-    pb = bsdf.pdf_bsdf(rb, n, ng, wo, wi, families=families)
+    pa = pdf_bsdf(mats, ra, n, ng, wo, wi, depth - 1, families=families)
+    pb = pdf_bsdf(mats, rb, n, ng, wo, wi, depth - 1, families=families)
     return jnp.where(comp, (1.0 - a) * pa + a * pb, p)
 
 
-def sample_bsdf(mats, row, n, ng, wo, u1, u2, u_lobe, has_blend: bool,
+def sample_bsdf(mats, row, n, ng, wo, u1, u2, u_lobe, depth: int,
                 wavelength=None, families=None):
-    if not has_blend:
+    if not depth:
         return bsdf.sample_bsdf(row, n, ng, wo, u1, u2, u_lobe,
                                 wavelength=wavelength, families=families)
-    comp = _is_composite(row)
-    ra, rb = _child_rows(mats, row)
-    a = _blend_factor(row)
-    # stochastic child pick; remap u_lobe to keep stratification
-    pick_b = u_lobe < a
-    u_rem = jnp.where(pick_b,
-                      u_lobe / jnp.maximum(a, 1e-8),
-                      (u_lobe - a) / jnp.maximum(1.0 - a, 1e-8))
-    row_sel = {
-        k: jnp.where(
-            comp if row[k].ndim == 1 else comp[..., None],
-            jnp.where(pick_b if row[k].ndim == 1 else pick_b[..., None],
-                      rb[k], ra[k]),
-            row[k],
-        )
-        for k in row
-    }
-    out = bsdf.sample_bsdf(row_sel, n, ng, wo, u1, u2, u_rem,
+    comp_top = _is_composite(row)
+    # stochastic descent: at each level, composite lanes pick a child by
+    # the (remapped) lobe uniform; leaf lanes pass through unchanged
+    cur = row
+    for _ in range(depth):
+        comp = _is_composite(cur)
+        ra, rb = _child_rows(mats, cur)
+        a = _blend_factor(cur)
+        pick_b = u_lobe < a
+        u_rem = jnp.where(pick_b,
+                          u_lobe / jnp.maximum(a, 1e-8),
+                          (u_lobe - a) / jnp.maximum(1.0 - a, 1e-8))
+        u_lobe = jnp.where(comp, jnp.clip(u_rem, 0.0, 1.0 - 1e-7),
+                           u_lobe)
+        cur = {
+            k: jnp.where(
+                comp if cur[k].ndim == 1 else comp[..., None],
+                jnp.where(pick_b if cur[k].ndim == 1
+                          else pick_b[..., None], rb[k], ra[k]),
+                cur[k],
+            )
+            for k in cur
+        }
+    out = bsdf.sample_bsdf(cur, n, ng, wo, u1, u2, u_lobe,
                            wavelength=wavelength, families=families)
-    # mixture pdf for MIS on composite non-delta samples
-    pa = bsdf.pdf_bsdf(ra, n, ng, wo, out["wi"], families=families)
-    pb = bsdf.pdf_bsdf(rb, n, ng, wo, out["wi"], families=families)
-    mix_pdf = (1.0 - a) * pa + a * pb
-    out["pdf"] = jnp.where(comp & ~out["specular"], mix_pdf, out["pdf"])
+    # full mixture pdf for MIS on composite non-delta samples (the
+    # recursive pdf expands nested children to the same leaf mixture the
+    # descent above samples from)
+    mix_pdf = pdf_bsdf(mats, row, n, ng, wo, out["wi"], depth,
+                       families=families)
+    out["pdf"] = jnp.where(comp_top & ~out["specular"], mix_pdf,
+                           out["pdf"])
     return out
 
 
-def emission(mats, row, ng, wo, has_blend: bool):
+def emission(mats, row, ng, wo, depth: int):
     e = bsdf.emission(row, ng, wo)
-    if not has_blend:
+    if not depth:
         return e
     comp = _is_composite(row)
     ra, rb = _child_rows(mats, row)
     a = _blend_factor(row)[..., None]
-    ea = bsdf.emission(ra, ng, wo)
-    eb = bsdf.emission(rb, ng, wo)
+    ea = emission(mats, ra, ng, wo, depth - 1)
+    eb = emission(mats, rb, ng, wo, depth - 1)
     return jnp.where(comp[..., None], (1.0 - a) * ea + a * eb, e)

@@ -65,7 +65,9 @@ class SceneStatic:
     volumes: tuple = ()  # tuple[VolumeRegion, ...] (frozen dataclasses)
     textures: tuple = ()  # tuple of texture specs (textures/factory.py)
     texture_mappings: tuple = ()  # per-texture (texco, mapping, scale, off)
-    has_blend: bool = False  # any blend_mat/mask_mat in the table
+    has_blend: int = 0  # max blend_mat/mask_mat NESTING depth in the
+    # table (0 = none; 2 = a blend whose child is itself a blend).
+    # Falsy when no composites exist, so boolean uses keep working.
     mat_families: tuple | None = None  # mtype codes present
     node_programs: tuple = ()  # compiled shader DAGs (textures/nodes.py)
     n_spheres: int = 0  # analytic sphere primitives
@@ -83,6 +85,27 @@ class CompiledScene:
     camera: Camera
     bound_min: tuple = (0.0, 0.0, 0.0)
     bound_max: tuple = (1.0, 1.0, 1.0)
+
+
+def _blend_depth(materials) -> int:
+    """Max blend/mask nesting depth over the material table (reference
+    blendmat.cc composes ARBITRARY children, including other blends).
+    Cycle-safe: a composite reached twice on one chain counts once and
+    the walk stops (matches the reference, where a cycle would be an
+    authoring error); capped at 4 levels."""
+
+    def depth(i, seen):
+        if i < 0 or i >= len(materials) or i in seen or len(seen) >= 4:
+            return 0
+        r = materials[i]
+        if r["mtype"] not in (6, 7):
+            return 0
+        s = seen | {i}
+        return 1 + max(depth(int(r.get("sub_mat1", 0)), s),
+                       depth(int(r.get("sub_mat2", 0)), s))
+
+    return max((depth(i, frozenset()) for i in range(len(materials))),
+               default=0)
 
 
 class Scene:
@@ -152,11 +175,20 @@ class Scene:
 
     def add_triangle(self, a, b, c, mat_name_or_id=0,
                      uv_a=-1, uv_b=-1, uv_c=-1):
+        """a/b/c are vertex INDICES into the current mesh; as a
+        convenience (tests/quick scripts) they may instead be (x, y, z)
+        point tuples, which stream into an implicit current mesh."""
         mid = (
             self.material_names.get(mat_name_or_id, 0)
             if isinstance(mat_name_or_id, str)
             else int(mat_name_or_id)
         )
+        if isinstance(a, (tuple, list, np.ndarray)):
+            if self._cur_mesh is None:
+                self.start_tri_mesh()
+            a = self.add_vertex(*a)
+            b = self.add_vertex(*b)
+            c = self.add_vertex(*c)
         self._cur_mesh.add_triangle(a, b, c, mid, uv_a, uv_b, uv_c)
 
     def end_tri_mesh(self):
@@ -719,7 +751,7 @@ class Scene:
                                              (0.0, 0.0, 0.0)))
                 for i in range(len(self.textures))),
             node_programs=tuple(self.node_programs),
-            has_blend=any(r["mtype"] in (6, 7) for r in self.materials),
+            has_blend=_blend_depth(self.materials),
             mat_families=tuple(sorted(
                 {r["mtype"] for r in self.materials})),
             n_spheres=len(self.analytic_spheres),

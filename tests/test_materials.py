@@ -211,6 +211,54 @@ def test_blend_material_mixes_children():
     assert np.allclose(np.asarray(s["pdf"]), p1, atol=1e-4)
 
 
+def test_blend_material_nested_two_levels():
+    """blend of a blend (reference blendmat.cc composes arbitrary
+    children): eval/pdf expand recursively and sample's mixture pdf
+    matches; depth comes from scene compile (_blend_depth)."""
+    from libyafaray_tpu.materials import blend as blendmod
+    from libyafaray_tpu.materials.base import MT_BLEND
+    from libyafaray_tpu.scene.scene import _blend_depth
+
+    r1 = default_row()
+    r1.update(dict(mtype=MT_SHINYDIFFUSE, diffuse_color=(1.0, 0.0, 0.0)))
+    r2 = default_row()
+    r2.update(dict(mtype=MT_SHINYDIFFUSE, diffuse_color=(0.0, 1.0, 0.0)))
+    r3 = default_row()
+    r3.update(dict(mtype=MT_SHINYDIFFUSE, diffuse_color=(0.0, 0.0, 1.0)))
+    inner = default_row()
+    inner.update(dict(mtype=MT_BLEND, sub_mat1=0, sub_mat2=1,
+                      blend_value=0.5))
+    outer = default_row()
+    outer.update(dict(mtype=MT_BLEND, sub_mat1=3, sub_mat2=2,
+                      blend_value=0.4))
+    rows = [r1, r2, r3, inner, outer]
+    assert _blend_depth(rows) == 2
+    t = build_material_table(rows)
+    mats = {k: jnp.asarray(v) for k, v in t.items()}
+    row = gather_rows(mats, jnp.full(N, 4, jnp.int32))
+    wi = vmath.normalize(
+        jnp.asarray(np.tile([[0.1, -0.2, 0.9]], (N, 1)), jnp.float32))
+    f = np.asarray(blendmod.eval_bsdf(mats, row, NRM, NRM, WO, wi, 2))
+    expect = (0.6 * (0.5 * np.asarray([1.0, 0, 0])
+                     + 0.5 * np.asarray([0, 1.0, 0]))
+              + 0.4 * np.asarray([0, 0, 1.0])) / np.pi
+    assert np.allclose(f[0], expect, atol=1e-5), f[0]
+    # depth 1 only expands one level: the inner blend contributes its
+    # own (leaf) row eval — NOT the children mix — so depths differ
+    f1 = np.asarray(blendmod.eval_bsdf(mats, row, NRM, NRM, WO, wi, 1))
+    assert not np.allclose(f1[0], expect, atol=1e-5)
+    # sampling: leaf pick fractions ~ (0.3 red, 0.3 green, 0.4 blue)
+    s = blendmod.sample_bsdf(mats, row, NRM, NRM, WO, U1, U2, UL, 2)
+    tp = np.asarray(s["tp"])
+    lead = tp.argmax(axis=1)
+    fr = [(lead == c).mean() for c in range(3)]
+    assert abs(fr[0] - 0.3) < 0.04 and abs(fr[1] - 0.3) < 0.04 \
+        and abs(fr[2] - 0.4) < 0.04, fr
+    # sample pdf equals the recursive mixture pdf
+    p = np.asarray(blendmod.pdf_bsdf(mats, row, NRM, NRM, WO, s["wi"], 2))
+    assert np.allclose(np.asarray(s["pdf"]), p, atol=1e-4)
+
+
 def test_rough_glass_sample_eval_pdf_consistent():
     """Walter-07 rough glass: sampled tp == f·|cos|/(pdf·...) lane-wise,
     pdf(sample) == pdf_bsdf(wi), energy bounded (reference
