@@ -120,13 +120,23 @@ def config_from_params(render: ParamMap, integ: ParamMap,
                        vol_integ: ParamMap | None = None) -> RenderConfig:
     itype = integ.get_str("type", "directlighting")
     vol = vol_integ or ParamMap()
+    # AA controls live in the render block (reference imageFilm params);
+    # accept them on the integrator too, render block winning — upstream
+    # scenes/tests set them in either place.
+    aa_p = render.get_int("AA_passes", integ.get_int("AA_passes", 1))
+    aa_s = render.get_int("AA_minsamples",
+                          integ.get_int("AA_minsamples", 1))
+    aa_i = render.get_int("AA_inc_samples",
+                          integ.get_int("AA_inc_samples", 1))
+    aa_t = render.get_float("AA_threshold",
+                            integ.get_float("AA_threshold", 0.05))
     return RenderConfig(
         width=render.get_int("width", 512),
         height=render.get_int("height", 512),
-        aa_passes=max(1, render.get_int("AA_passes", 1)),
-        aa_samples=max(1, render.get_int("AA_minsamples", 1)),
-        aa_inc_samples=max(1, render.get_int("AA_inc_samples", 1)),
-        aa_threshold=render.get_float("AA_threshold", 0.05),
+        aa_passes=max(1, aa_p),
+        aa_samples=max(1, aa_s),
+        aa_inc_samples=max(1, aa_i),
+        aa_threshold=aa_t,
         aa_pixelwidth=render.get_float("AA_pixelwidth", 1.5),
         filter_type=render.get_str("filter_type", "box").lower(),
         aa_dark_detection=render.get_str("AA_dark_detection_type", "none"),
