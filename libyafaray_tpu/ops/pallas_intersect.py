@@ -762,6 +762,325 @@ def _shadow_kernel_stream(order_hbm, count_ref, tri_hbm, cl_ref, rays_ref,
     lg_out[:] = lg_buf[:].T
 
 
+# ---------------------------------------------------------------------------
+# Gathered-fine streaming kernels (r4): the block sweep's measured
+# plateau (BENCH_ALL.md r3: 1-2.5 Mrays/s at 114-131K tris) is MT work
+# against the per-block UNION of COARSE (BT-wide) cluster lists — a
+# listed 1024-tri cluster is swept whole even when the block's corridor
+# touches one of its 128-tri sub-boxes.  Per-visit overhead pins the
+# profitable tile at ~BQ x 1024 pairs (finer BT measured worse), so the
+# r4 design decouples the two granularities: the per-block front-to-back
+# list is built at SUB_BT=128 granularity (fine slab keys + one (B,
+# n_sc) argsort — measured 0.24 ms at (2048, 1024) on v5e), and each
+# visit GATHERS the next FINE_GROUP listed fine clusters via FINE_GROUP
+# concurrent sub-DMAs into one (16, FINE_GROUP*SUB_BT) VMEM tile — the
+# same amortized tile shape, every column from the tightened list.
+#
+# On top rides two-round early termination (the per-RAY analog of
+# kdtree.cc's early walk exit, SURVEY §2.3): round 1 visits only the
+# first K1 groups of each block's list; round 2 recomputes the lists
+# with per-ray tmax lowered to the round-1 best t (a resolved ray's
+# corridor collapses to the clusters that could still beat its hit),
+# masks out the block's round-1 visited ids, and finishes the
+# stragglers starting from the round-1 best.  Exactness: a cluster can
+# improve a ray iff its slab entry < best_t, and every such cluster is
+# either in the block's round-1 prefix (tested, or provably skipped
+# against a then-better best) or in its round-2 list.
+# ---------------------------------------------------------------------------
+
+FINE_GROUP = 8       # fine clusters gathered per visit
+MAX_FINE_SC = 8192   # fine-path cap on sub-cluster count (prelude cost)
+
+
+def _fine_mode() -> bool:
+    import os
+
+    return os.environ.get("LIBYAF_FINE", "1") == "1"
+
+
+def _round_k1() -> int:
+    """Round-1 visit budget in GROUPS of FINE_GROUP fine clusters
+    (0 disables the two-round split)."""
+    import os
+
+    return int(os.environ.get("LIBYAF_K1", "6"))
+
+
+def _stream_pipeline_multi(cnt, start_dmas, wait_dmas, process,
+                           flags=None):
+    """Two-slot pipeline like _stream_pipeline, but each step issues a
+    GROUP of concurrent sub-DMAs (start_dmas/wait_dmas take (slot, g)).
+
+    flags: optional SMEM (2,) i32 scratch [done, started] enabling
+    EARLY EXIT — `process` may set flags[0]=1 when the remaining list
+    provably cannot change the result (front-to-back key bound, or
+    saturated shadow opacity); later groups then neither start DMAs nor
+    compute.  flags[1] is a monotone started-until counter so a group's
+    wait runs iff its start did (the one in-flight group at exit time is
+    drained, keeping the shared DMA semaphores balanced across grid
+    steps).  The fori_loop itself still spins over the dead tail —
+    SMEM-read iterations, ~2 orders cheaper than a visited group."""
+    if flags is None:
+        @pl.when(cnt > 0)
+        def _():
+            start_dmas(0, 0)
+
+        def body(jj, _):
+            g0 = 2 * jj
+
+            @pl.when(g0 < cnt)
+            def _():
+                @pl.when(g0 + 1 < cnt)
+                def _():
+                    start_dmas(1, g0 + 1)
+
+                wait_dmas(0, g0)
+                process(0, g0)
+
+            @pl.when(g0 + 1 < cnt)
+            def _():
+                @pl.when(g0 + 2 < cnt)
+                def _():
+                    start_dmas(0, g0 + 2)
+
+                wait_dmas(1, g0 + 1)
+                process(1, g0 + 1)
+
+            return 0
+
+        jax.lax.fori_loop(0, (cnt + 1) // 2, body, 0)
+        return
+
+    flags[0] = 0
+    flags[1] = 0
+
+    @pl.when(cnt > 0)
+    def _():
+        start_dmas(0, 0)
+        flags[1] = 1
+
+    def half(slot, g):
+        @pl.when((g + 1 < cnt) & (flags[0] == 0))
+        def _():
+            start_dmas(1 - slot, g + 1)
+            flags[1] = g + 2
+
+        @pl.when(g < flags[1])
+        def _():
+            wait_dmas(slot, g)
+
+            @pl.when(flags[0] == 0)
+            def _():
+                process(slot, g)
+
+    def body(jj, _):
+        g0 = 2 * jj
+
+        @pl.when(g0 < cnt)
+        def _():
+            half(0, g0)
+
+        @pl.when(g0 + 1 < cnt)
+        def _():
+            half(1, g0 + 1)
+
+        return 0
+
+    jax.lax.fori_loop(0, (cnt + 1) // 2, body, 0)
+
+
+def _fine_group_ids(ord_smem, sub, cnt, g, pad_id):
+    """The FINE_GROUP fine-cluster ids of group g (list tail -> pad_id,
+    whose pack block is all-degenerate and whose sub box is inverted).
+    The SMEM index is clamped: the last group can address up to
+    FINE_GROUP-1 slots past cnt (<= row length + 7 when n_sc is a
+    multiple of the 128-column row padding)."""
+    cmax = ord_smem.shape[1] - 1
+    ids = []
+    for s in range(FINE_GROUP):
+        j = g * FINE_GROUP + s
+        ids.append(jnp.where(j < cnt,
+                             ord_smem[sub, jnp.minimum(j, cmax)], pad_id))
+    return ids
+
+
+def _closest_kernel_fine(order_hbm, nk_hbm, count_ref, init_t, init_c,
+                         tri_hbm, sub_ref, rays_ref, t_out, tri_out,
+                         tri_buf, ord_smem, nk_smem, sems, osem, best_t,
+                         best_c, flags, *, pad_id: int, do_slab=True,
+                         ee=True):
+    """Gathered-fine closest-hit: one grid step per ray block; the
+    block's FINE front-to-back list is walked FINE_GROUP entries per
+    visit, each visit DMA-gathering its fine tiles into one (16,
+    FINE_GROUP*SUB_BT) buffer and folding one MT tile into the running
+    per-ray best.  init_t/init_c seed the best state (round 2 resumes
+    from round 1; round 1 passes +inf/0).
+
+    EARLY EXIT (the per-block analog of kdtree.cc's front-to-back walk
+    termination): nk_hbm[b, g] is the slab-entry key of group g+1's
+    FIRST list entry; once max over the block's rays of min(best_t,
+    tmax) <= that bound, every remaining cluster's entry distance —
+    hence any hit it could produce — is no nearer than what each ray
+    already has, so the sweep stops (DMAs suppressed, see
+    _stream_pipeline_multi flags)."""
+    i = pl.program_id(0)
+    cnt = count_ref[i]
+    sub = i % 8
+
+    @pl.when(sub == 0)
+    def _():
+        ocp = pltpu.make_async_copy(order_hbm.at[i // 8], ord_smem,
+                                    osem.at[0])
+        ocp.start()
+        ncp = pltpu.make_async_copy(nk_hbm.at[i // 8], nk_smem,
+                                    osem.at[1])
+        ncp.start()
+        ocp.wait()
+        ncp.wait()
+
+    org_ref, dir_ref, inv_ref, rp = _unpack_rays8(rays_ref)
+    tmin, tmax = rp[:, 6:7], rp[:, 7:8]
+    best_t[:] = init_t[...].T
+    best_c[:] = init_c[...].T
+    n_groups = (cnt + FINE_GROUP - 1) // FINE_GROUP
+
+    def start_dmas(slot, g):
+        ids = _fine_group_ids(ord_smem, sub, cnt, g, pad_id)
+        for s in range(FINE_GROUP):
+            pltpu.make_async_copy(
+                tri_hbm.at[:, pl.ds(ids[s] * SUB_BT, SUB_BT)],
+                tri_buf.at[slot, :, pl.ds(s * SUB_BT, SUB_BT)],
+                sems.at[slot, s]).start()
+
+    def wait_dmas(slot, g):
+        ids = _fine_group_ids(ord_smem, sub, cnt, g, pad_id)
+        for s in range(FINE_GROUP):
+            pltpu.make_async_copy(
+                tri_hbm.at[:, pl.ds(ids[s] * SUB_BT, SUB_BT)],
+                tri_buf.at[slot, :, pl.ds(s * SUB_BT, SUB_BT)],
+                sems.at[slot, s]).wait()
+
+    def process(slot, g):
+        ids = _fine_group_ids(ord_smem, sub, cnt, g, pad_id)
+
+        def mt_tile():
+            t, u, v, ok = _mt_tile(tri_buf[slot], org_ref, dir_ref)
+            ok = ok & (t > tmin) & (t < tmax)
+            t_ok = jnp.where(ok, t, jnp.inf)
+            tile_min = jnp.min(t_ok, axis=1, keepdims=True)
+            # global pack-column vector: sub s's 128 lanes map to
+            # columns ids[s]*SUB_BT .. +127 of the (padded) pack
+            cols = jnp.concatenate(
+                [ids[s] * SUB_BT
+                 + jax.lax.broadcasted_iota(jnp.int32, (1, SUB_BT), 1)
+                 for s in range(FINE_GROUP)], axis=1)
+            kcand = jnp.where(t_ok <= tile_min, cols, _BIG_I32)
+            k_min = jnp.min(kcand, axis=1, keepdims=True)
+            better = tile_min < best_t[:]
+            best_t[:] = jnp.where(better, tile_min, best_t[:])
+            best_c[:] = jnp.where(better, k_min, best_c[:])
+
+        if do_slab:
+            # group skip: can any ray hit ANY of the group's sub boxes
+            # nearer than its current best?
+            tb = jnp.minimum(tmax, best_t[:])
+            any_hit = _slab_any(sub_ref, ids[0], org_ref, inv_ref,
+                                tmin, tb)
+            for s in range(1, FINE_GROUP):
+                any_hit = jnp.maximum(
+                    any_hit, _slab_any(sub_ref, ids[s], org_ref,
+                                       inv_ref, tmin, tb))
+            pl.when(any_hit > 0.0)(mt_tile)
+        else:
+            mt_tile()
+        if ee:
+            bound = jnp.max(jnp.minimum(best_t[:], tmax))
+            flags[0] = (bound <= nk_smem[sub, g]).astype(jnp.int32)
+
+    _stream_pipeline_multi(n_groups, start_dmas, wait_dmas, process,
+                           flags=flags if ee else None)
+    t_out[:] = best_t[:].T
+    tri_out[:] = best_c[:].T
+
+
+def _shadow_kernel_fine(order_hbm, count_ref, tri_hbm, sub_ref, rays_ref,
+                        lg_out, tri_buf, ord_smem, sems, osem, lg_buf,
+                        flags, *, pad_id: int, do_slab=True, ee=True):
+    """Gathered-fine shadow kernel: accumulates LOG transmission over
+    the block's fine list (pack rows 10:13 are the rgb log-filter rows;
+    the pad block's tris are degenerate so list tails can't
+    double-count).  EARLY EXIT: once every lane is either opaque-
+    saturated (lg <= -79) or dead (no corridor), the rest of the list
+    cannot change the output and the sweep stops."""
+    i = pl.program_id(0)
+    cnt = count_ref[i]
+    sub = i % 8
+
+    @pl.when(sub == 0)
+    def _():
+        ocp = pltpu.make_async_copy(order_hbm.at[i // 8], ord_smem, osem)
+        ocp.start()
+        ocp.wait()
+
+    org_ref, dir_ref, inv_ref, rp = _unpack_rays8(rays_ref)
+    dist = rp[:, 7:8]
+    lg_buf[:] = jnp.zeros_like(lg_buf)
+    tmin = 5e-4
+    tmax = dist * (1.0 - 1e-4) - 5e-4
+    n_groups = (cnt + FINE_GROUP - 1) // FINE_GROUP
+
+    def start_dmas(slot, g):
+        ids = _fine_group_ids(ord_smem, sub, cnt, g, pad_id)
+        for s in range(FINE_GROUP):
+            pltpu.make_async_copy(
+                tri_hbm.at[:, pl.ds(ids[s] * SUB_BT, SUB_BT)],
+                tri_buf.at[slot, :, pl.ds(s * SUB_BT, SUB_BT)],
+                sems.at[slot, s]).start()
+
+    def wait_dmas(slot, g):
+        ids = _fine_group_ids(ord_smem, sub, cnt, g, pad_id)
+        for s in range(FINE_GROUP):
+            pltpu.make_async_copy(
+                tri_hbm.at[:, pl.ds(ids[s] * SUB_BT, SUB_BT)],
+                tri_buf.at[slot, :, pl.ds(s * SUB_BT, SUB_BT)],
+                sems.at[slot, s]).wait()
+
+    def process(slot, g):
+        ids = _fine_group_ids(ord_smem, sub, cnt, g, pad_id)
+
+        def mt_tile():
+            t, _, _, ok = _mt_tile(tri_buf[slot], org_ref, dir_ref)
+            okf = (ok & (t > tmin) & (t < tmax)).astype(jnp.float32)
+            lg = lg_buf[:]
+            cols = []
+            for ci in range(3):
+                acc = jnp.sum(okf * tri_buf[slot, 10 + ci:11 + ci, :],
+                              axis=1, keepdims=True)
+                cols.append(jnp.maximum(lg[:, ci:ci + 1] + acc, -80.0))
+            lg_buf[:] = jnp.concatenate(cols, axis=1)
+
+        if do_slab:
+            any_hit = _slab_any(sub_ref, ids[0], org_ref, inv_ref,
+                                jnp.full_like(dist, tmin), tmax)
+            for s in range(1, FINE_GROUP):
+                any_hit = jnp.maximum(
+                    any_hit, _slab_any(sub_ref, ids[s], org_ref,
+                                       inv_ref,
+                                       jnp.full_like(dist, tmin), tmax))
+            not_done = jnp.max(lg_buf[:]) > -79.0
+            pl.when((any_hit > 0.0) & not_done)(mt_tile)
+        else:
+            mt_tile()
+        if ee:
+            live_lg = jnp.max(jnp.where(tmax > 0.0, lg_buf[:],
+                                        jnp.float32(-1e3)))
+            flags[0] = (live_lg <= -79.0).astype(jnp.int32)
+
+    _stream_pipeline_multi(n_groups, start_dmas, wait_dmas, process,
+                           flags=flags if ee else None)
+    lg_out[:] = lg_buf[:].T
+
+
 def _spread_bits(x):
     x = (x | (x << 16)) & jnp.uint32(0x030000FF)
     x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
@@ -1201,6 +1520,240 @@ def _closest_fb_tcol(tri_pack10, pack16, cluster8, org, dirn, tmin, tmax,
     return t, col
 
 
+def _fine_block_keys(org, dirn, tmin, tmax, table, bq: int, ch: int = 32):
+    """Per-block front-to-back keys over a FINE AABB table: (B, n_sc)
+    f32, entry distance of the block's nearest-entering ray (inf when no
+    ray's [tmin, tmax] corridor enters).  org/dirn/tmin/tmax are sorted
+    and padded to a bq multiple; chunked over clusters to bound the
+    (B, bq, ch, 3) temporary."""
+    n_sc = table.shape[1]
+    b = org.shape[0] // bq
+    o = org.reshape(b, bq, 3)
+    iv = _inv_dir(dirn).reshape(b, bq, 3)
+    tmin_b = tmin.reshape(b, bq)
+    tmax_b = tmax.reshape(b, bq)
+    lo = table[0:3].T
+    hi = table[3:6].T
+    keys = []
+    for c0 in range(0, n_sc, ch):
+        loc = lo[c0:c0 + ch]
+        hic = hi[c0:c0 + ch]
+        t0 = (loc[None, None] - o[:, :, None]) * iv[:, :, None]
+        t1 = (hic[None, None] - o[:, :, None]) * iv[:, :, None]
+        enter = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1),
+                            tmin_b[..., None])
+        exit_ = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=-1),
+                            tmax_b[..., None])
+        hit = enter <= exit_
+        keys.append(jnp.min(jnp.where(hit, enter, jnp.inf), axis=1))
+    return jnp.concatenate(keys, axis=1)
+
+
+def _order_from_fine_keys(key):
+    """(entries, count) from a (B, n_sc) key matrix.  No dead-tail fill:
+    the fine kernels substitute pad_id for slots past count."""
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    count = jnp.sum(jnp.isfinite(key), axis=1).astype(jnp.int32)
+    return order, count
+
+
+def _fine_bq(n_sc: int) -> int:
+    """Rays per block for the fine path: small scenes keep big blocks
+    (grid-step overhead dominates their short lists); at scene scale the
+    tighter 128-ray corridors win (same measured tradeoff as
+    _pick_bq)."""
+    return _pick_bq(1024) if n_sc >= 64 else BQ
+
+
+def _fine_tables(tri_pack10, pack16, n_tris: int):
+    """Padded fine tables for the gathered kernels: the streamed pack
+    gains one all-degenerate SUB_BT block at column n_sc*SUB_BT (the
+    never-hit pad_id target) and the sub-AABB table one inverted box."""
+    sub8 = _sub_aabbs(tri_pack10, n_tris)
+    padcol = jnp.concatenate(
+        [jnp.full((3, 1), jnp.inf, jnp.float32),
+         jnp.full((3, 1), -jnp.inf, jnp.float32),
+         jnp.zeros((2, 1), jnp.float32)], axis=0)
+    sub8p = jnp.concatenate([sub8, padcol], axis=1)
+    pack16f = jnp.pad(pack16, ((0, 0), (0, SUB_BT)))
+    return pack16f, sub8p
+
+
+def _ee_mode() -> bool:
+    """In-kernel early exit for the fine sweeps (exact; off only for
+    A/B measurement)."""
+    import os
+
+    return os.environ.get("LIBYAF_EE", "1") == "1"
+
+
+def _next_group_keys(key, order):
+    """(B, G) f32: for group g, the sorted slab-entry key of group
+    g+1's first entry (the front-to-back bound the early exit compares
+    against).  The last group's slot is harmless (exit after it skips
+    nothing)."""
+    n_sc = key.shape[1]
+    ks = jnp.take_along_axis(key, order, axis=1)
+    g = (n_sc + FINE_GROUP - 1) // FINE_GROUP
+    idx = jnp.minimum((jnp.arange(g) + 1) * FINE_GROUP, n_sc - 1)
+    return ks[:, idx]
+
+
+def _run_fine_closest(order, nk, count, init_t, init_c, pack16f, sub8p,
+                      rays8, bq: int, pad_id: int):
+    """One gathered-fine closest sweep.  init_t/init_c and the returned
+    (t, col) are (1, npad) rows in the rays8 (sorted) order."""
+    order_g, c128 = _order_groups(order)
+    nk_g, g128 = _order_groups(nk)
+    npad = rays8.shape[1]
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ospec = lambda r: pl.BlockSpec((r, bq), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)
+    t, col = pl.pallas_call(
+        functools.partial(_closest_kernel_fine, pad_id=pad_id,
+                          do_slab=_slab_mode(), ee=_ee_mode()),
+        grid=(npad // bq,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),  # order groups
+            pl.BlockSpec(memory_space=pltpu.HBM),  # next-group keys
+            smem,                                  # count
+            ospec(1), ospec(1),                    # init best
+            pl.BlockSpec(memory_space=pltpu.HBM),  # pack
+            smem,                                  # sub AABBs
+            ospec(8),                              # transposed rays
+        ],
+        out_specs=[ospec(1)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, FINE_GROUP * SUB_BT), jnp.float32),
+            pltpu.SMEM((8, c128), jnp.int32),
+            pltpu.SMEM((8, g128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, FINE_GROUP)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, npad), jnp.float32),
+            jax.ShapeDtypeStruct((1, npad), jnp.int32),
+        ],
+        interpret=INTERPRET,
+    )(order_g, nk_g, count, init_t, init_c, pack16f, sub8p, rays8)
+    return t, col
+
+
+def _closest_fine_tcol(tri_pack10, pack16, org, dirn, tmin, tmax,
+                       n_tris: int, presorted: bool = False):
+    """Gathered-fine closest hit with two-round early termination (see
+    the r4 design block above _closest_kernel_fine).  Returns per-ray
+    (t, best PACK COLUMN) in ORIGINAL ray order."""
+    tp = tri_pack10.shape[1]
+    n_sc = tp // SUB_BT
+    pad_id = n_sc
+    pack16f, sub8p = _fine_tables(tri_pack10, pack16, n_tris)
+    n = org.shape[0]
+    sort = (not presorted) and n_sc >= SORT_MIN_CLUSTERS
+    unperm = None
+    if sort:
+        perm, unperm = _ray_sort_perm(org, dirn)
+        ray_pack = jnp.concatenate(
+            [org, dirn, tmin[:, None], tmax[:, None]], axis=1)[perm]
+        org, dirn = ray_pack[:, 0:3], ray_pack[:, 3:6]
+        tmin, tmax = ray_pack[:, 6], ray_pack[:, 7]
+    bq = _fine_bq(n_sc)
+    rays8, _ = _rays8_t([org, dirn, tmin, tmax], bq)
+    npad = rays8.shape[1]
+    key = _fine_block_keys(rays8[0:3].T, rays8[3:6].T, rays8[6],
+                           rays8[7], sub8p[:, :n_sc], bq)
+    order, count = _order_from_fine_keys(key)
+    nk = _next_group_keys(key, order)
+    k1 = _round_k1()
+    k1e = k1 * FINE_GROUP
+    two_rounds = k1 > 0 and n_sc > 2 * k1e
+    init_t = jnp.full((1, npad), jnp.inf, jnp.float32)
+    init_c = jnp.zeros((1, npad), jnp.int32)
+    cnt1 = jnp.minimum(count, k1e) if two_rounds else count
+    t, col = _run_fine_closest(order, nk, cnt1, init_t, init_c, pack16f,
+                               sub8p, rays8, bq, pad_id)
+    if two_rounds:
+        # round 2: corridors re-keyed against the round-1 best t (a
+        # resolved ray keeps only clusters that could still beat its
+        # hit), minus the block's visited prefix.  Unlisted-in-round-1
+        # clusters stay unlisted (round-2 tmax is never larger).
+        tmax2 = jnp.minimum(rays8[7], t[0])
+        key2 = _fine_block_keys(rays8[0:3].T, rays8[3:6].T, rays8[6],
+                                tmax2, sub8p[:, :n_sc], bq)
+        visited = order[:, :k1e]
+        bidx = jax.lax.broadcasted_iota(jnp.int32, visited.shape, 0)
+        key2 = key2.at[bidx, visited].set(jnp.inf)
+        order2, count2 = _order_from_fine_keys(key2)
+        nk2 = _next_group_keys(key2, order2)
+        t, col = _run_fine_closest(order2, nk2, count2, t, col, pack16f,
+                                   sub8p, rays8, bq, pad_id)
+    t, col = t[0, :n], col[0, :n]
+    if sort:
+        pk = jnp.stack([t, col.astype(jnp.float32)], axis=1)[unperm]
+        t, col = pk[:, 0], pk[:, 1].astype(jnp.int32)
+    return t, col
+
+
+def _shadow_fine_lg(tri_pack10, pack16s, org, dirn, dist, n_tris: int,
+                    presorted: bool = False):
+    """Gathered-fine shadow sweep: (N, 3) LOG transmission in ORIGINAL
+    ray order.  Single round — transmission needs the whole corridor
+    (the in-kernel opaque early-out still applies)."""
+    tp = tri_pack10.shape[1]
+    n_sc = tp // SUB_BT
+    pad_id = n_sc
+    pack16f, sub8p = _fine_tables(tri_pack10, pack16s, n_tris)
+    n = org.shape[0]
+    sort = (not presorted) and n_sc >= SORT_MIN_CLUSTERS
+    unperm = None
+    if sort:
+        perm, unperm = _ray_sort_perm(org, dirn)
+        ray_pack = jnp.concatenate([org, dirn, dist[:, None]],
+                                   axis=1)[perm]
+        org, dirn, dist = (ray_pack[:, 0:3], ray_pack[:, 3:6],
+                           ray_pack[:, 6])
+    bq = _fine_bq(n_sc)
+    rays8, _ = _rays8_t([org, dirn, jnp.zeros_like(dist), dist], bq)
+    npad = rays8.shape[1]
+    d = rays8[7]
+    key = _fine_block_keys(rays8[0:3].T, rays8[3:6].T,
+                           jnp.full_like(d, 5e-4),
+                           d * (1.0 - 1e-4) - 5e-4, sub8p[:, :n_sc], bq)
+    order, count = _order_from_fine_keys(key)
+    order_g, c128 = _order_groups(order)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ospec = lambda r: pl.BlockSpec((r, bq), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)
+    lg = pl.pallas_call(
+        functools.partial(_shadow_kernel_fine, pad_id=pad_id,
+                          do_slab=_slab_mode(), ee=_ee_mode()),
+        grid=(npad // bq,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  smem,
+                  pl.BlockSpec(memory_space=pltpu.HBM),
+                  smem,
+                  ospec(8)],
+        out_specs=ospec(3),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, FINE_GROUP * SUB_BT), jnp.float32),
+            pltpu.SMEM((8, c128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, FINE_GROUP)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((bq, 3), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((3, npad), jnp.float32),
+        interpret=INTERPRET,
+    )(order_g, count, pack16f, sub8p, rays8)
+    lg = lg[:, :n].T
+    if sort:
+        lg = lg[unperm]
+    return lg
+
+
 def _closest_epilogue(tri_pack10, org, dirn, t, col, n_tris: int):
     """(best-t, best PACK COLUMN) -> (t, tri, u, v, hit): u/v/orig-id
     are recomputed from one 10-row gather + the same 40-flop MT (the
@@ -1242,9 +1795,15 @@ def closest_hit_pallas(tri_pack10, cluster8, org, dirn, tmin, tmax,
         # DMA-sliceable VMEM tiles need sublane counts aligned to 8:
         # pad the 10-row pack to 16 rows (rows 10:16 unused)
         pack16 = jnp.pad(tri_pack10, ((0, 6), (0, 0)))
+        n_sc = tri_pack10.shape[1] // SUB_BT
         if _pairs_mode() and n_cl >= PAIRS_MIN_CLUSTERS:
             t, col = _closest_hit_pairs(tri_pack10, pack16, cluster8,
                                         org, dirn, tmin, tmax, n_tris)
+        elif (_fine_mode() and FINE_GROUP <= n_sc <= MAX_FINE_SC
+              and tri_pack10.shape[1] % SUB_BT == 0):
+            t, col = _closest_fine_tcol(tri_pack10, pack16, org, dirn,
+                                        tmin, tmax, n_tris,
+                                        presorted=presorted)
         else:
             t, col = _closest_fb_tcol(tri_pack10, pack16, cluster8,
                                       org, dirn, tmin, tmax, n_tris,
@@ -1412,9 +1971,15 @@ def shadow_transmission_pallas(tri_pack10, cluster8, filt4, org, dirn,
         pack16s = jnp.concatenate(
             [tri_pack10, logf4,
              jnp.zeros((2, tri_pack10.shape[1]), jnp.float32)], axis=0)
+        n_sc = tri_pack10.shape[1] // SUB_BT
         if _pairs_mode() and n_cl >= PAIRS_MIN_CLUSTERS:
             return _shadow_transmission_pairs(
                 tri_pack10, pack16s, cluster8, org, dirn, dist, n_tris)
+        if (_fine_mode() and FINE_GROUP <= n_sc <= MAX_FINE_SC
+                and tri_pack10.shape[1] % SUB_BT == 0):
+            return jnp.exp(_shadow_fine_lg(
+                tri_pack10, pack16s, org, dirn, dist, n_tris,
+                presorted=presorted))
         return jnp.exp(_shadow_fb_lg(
             tri_pack10, pack16s, cluster8, org, dirn, dist, n_tris,
             presorted=presorted))

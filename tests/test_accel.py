@@ -225,6 +225,8 @@ def test_pallas_subcluster_culling_matches_brute(monkeypatch):
     from libyafaray_tpu.ops import pallas_intersect as pli
 
     monkeypatch.setenv("LIBYAF_BT", "512")
+    monkeypatch.setenv("LIBYAF_FINE", "0")  # pin the BLOCK path (the
+    # r4 gathered-fine path would otherwise intercept this size)
     pli.INTERPRET = True
     try:
         rng = np.random.default_rng(7)
@@ -268,6 +270,70 @@ def test_pallas_subcluster_culling_matches_brute(monkeypatch):
         tr_b = shadow_transmission_brute(tris_p, jnp.asarray(filt_pad),
                                          org, d, dist, chunk=512)
         assert np.allclose(np.asarray(tr_p), np.asarray(tr_b), atol=2e-3)
+    finally:
+        pli.INTERPRET = False
+
+
+def test_pallas_fine_path_matches_brute(monkeypatch):
+    """The r4 gathered-fine path (SUB_BT-granular front-to-back lists,
+    FINE_GROUP sub-DMA gathers, two-round early termination, in-kernel
+    key-bound early exit) must agree with brute force on hits/tri ids —
+    across K1 (single-round / forced two-round) and with the early exit
+    on and off (LIBYAF_EE)."""
+    from libyafaray_tpu.ops import pallas_intersect as pli
+
+    pli.INTERPRET = True
+    try:
+        rng = np.random.default_rng(11)
+        t = 2304  # BT=128 -> pack width 2304, n_sc=18 >= FINE_GROUP
+        v0 = rng.uniform(-4, 4, (t, 3)).astype(np.float32)
+        e1 = rng.normal(0, 0.3, (t, 3)).astype(np.float32)
+        e2 = rng.normal(0, 0.3, (t, 3)).astype(np.float32)
+        order = pli.morton_order(v0, e1, e2)
+        pack, cl, s_ord = pli.build_tri_pack(v0, e1, e2, order)
+        assert pack.shape[1] % pli.SUB_BT == 0
+        assert pack.shape[1] // pli.SUB_BT >= pli.FINE_GROUP
+        n = 256
+        org = jnp.asarray(rng.uniform(-5, 5, (n, 3)), jnp.float32)
+        d = rng.normal(size=(n, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        d = jnp.asarray(d, jnp.float32)
+        tmin = jnp.full((n,), 5e-5)
+        v0p, e1p, e2p, _ = pad_triangles(v0, e1, e2, 128)
+        tris_p = dict(v0=jnp.asarray(v0p), e1=jnp.asarray(e1p),
+                      e2=jnp.asarray(e2p))
+        hb = closest_hit_brute(tris_p, org, d, tmin, chunk=128)
+        m = np.asarray(hb.hit)
+        # k1=1 forces the two-round split at n_sc=18 (> 2*k1*FINE_GROUP)
+        for k1, ee in (("0", "1"), ("1", "1"), ("1", "0"), ("6", "1")):
+            monkeypatch.setenv("LIBYAF_K1", k1)
+            monkeypatch.setenv("LIBYAF_EE", ee)
+            tc, tri, _, _, hit = pli.closest_hit_pallas(
+                jnp.asarray(pack), jnp.asarray(cl), org, d, tmin,
+                jnp.full((n,), jnp.inf), n_tris=t)
+            assert np.array_equal(np.asarray(hit), m), (k1, ee)
+            assert np.allclose(np.asarray(tc)[m], np.asarray(hb.t)[m],
+                               rtol=1e-4), (k1, ee)
+            assert np.array_equal(np.asarray(tri)[m],
+                                  np.asarray(hb.tri)[m]), (k1, ee)
+
+        filt = (rng.random((t, 3)) * (rng.random((t, 1)) > 0.5)).astype(
+            np.float32)
+        filt_pk = filt[s_ord]
+        filt4 = jnp.asarray(np.concatenate(
+            [filt_pk.T, np.zeros((1, filt_pk.shape[0]), np.float32)]))
+        dist = jnp.full((n,), 6.0, jnp.float32)
+        filt_pad = np.concatenate(
+            [filt, np.zeros((v0p.shape[0] - t, 3), np.float32)])
+        tr_b = shadow_transmission_brute(tris_p, jnp.asarray(filt_pad),
+                                         org, d, dist, chunk=128)
+        for ee in ("1", "0"):
+            monkeypatch.setenv("LIBYAF_EE", ee)
+            tr_p = pli.shadow_transmission_pallas(
+                jnp.asarray(pack), jnp.asarray(cl), filt4, org, d, dist,
+                n_tris=t)
+            assert np.allclose(np.asarray(tr_p), np.asarray(tr_b),
+                               atol=2e-3), ee
     finally:
         pli.INTERPRET = False
 
