@@ -114,7 +114,27 @@ def bake_sky(btype: str, params: ParamMap):
                           np.float64)
     turb = params.get_float("turbidity", 3.0)
     power = params.get_float("power", 1.0)
-    grid = _preetham_grid(sun_from, max(1.8, min(turb, 10.0)))
+    grid = None
+    if btype == "darksky":
+        # Hosek-Wilkie evaluation path (backgrounds/hosek.py): genuine
+        # HW radiance when a fitted-coefficient dataset is available
+        # (scene param hw_dataset / env LIBYAF_HW_DATA), Preetham
+        # stand-in otherwise.  Reference darksky.cc [H].
+        from . import hosek
+
+        path = hosek.find_dataset(params)
+        if path:
+            ds = hosek.load_hw_dataset(path)
+            grid = hosek.hw_grid(
+                ds, sun_from, max(1.0, min(turb, 10.0)),
+                params.get_float("albedo", 0.2))
+            log.info("darksky: Hosek-Wilkie grid from %s", path)
+    if grid is None:
+        grid = _preetham_grid(sun_from, max(1.8, min(turb, 10.0)))
+        if btype == "darksky":
+            log.info("darksky: using Preetham-baked grid (no Hosek-"
+                     "Wilkie dataset file); exposure/night controls "
+                     "applied")
     if btype == "darksky":
         exposure = params.get_float("exposure", 1.0)
         if exposure > 0:
@@ -123,8 +143,6 @@ def bake_sky(btype: str, params: ParamMap):
         grid = grid * bright
         if params.get_bool("night", False):
             grid = grid * np.asarray([0.05, 0.05, 0.2], np.float32)
-        log.info("darksky: using Preetham-baked grid (Hosek-Wilkie tables "
-                 "pending); exposure/night controls applied")
     spec = BackgroundSpec(
         bg_type=BG_TEXTURE, power=power, mapping="sphere", rotation=0.0,
         ibl=params.get_bool("ibl", params.get_bool("background_light", False)),
