@@ -111,6 +111,69 @@ def splat_plane(acc, val, sx, sy, active, filter_type: str,
     return acc
 
 
+def film_splat_compact(film: dict, color, pix, sx, sy, active,
+                       filter_type: str, pixel_width: float,
+                       clamp_samples: float = 0.0) -> dict:
+    """film_splat for a COMPACTED lane set: color (N, 3) samples at flat
+    pixel ids pix (N,) i32 (active=0 lanes are ignored; pass pix>=0),
+    scatter-added with the SAME filter-footprint math as the dense
+    splat.  Used by the adaptive-AA compact passes (render.py): when few
+    pixels are flagged, lanes cover only those pixels, so the step's
+    wavefront cost scales with the flagged count instead of H*W."""
+    if clamp_samples > 0.0:
+        m = jnp.max(color, axis=-1, keepdims=True)
+        scale = jnp.where(m > clamp_samples,
+                          clamp_samples / jnp.maximum(m, 1e-9), 1.0)
+        color = color * scale
+    h, w = film["wsum"].shape[:2]
+    pixc = jnp.maximum(pix, 0)
+    py, px = jnp.divmod(pixc, w)
+    r = filter_radius(filter_type, pixel_width)
+    wsum = film["wsum"]
+    wacc = film["w"]
+    for oy in range(-r, r + 1):
+        for ox in range(-r, r + 1):
+            dx = ox + 0.5 - sx
+            dy = oy + 0.5 - sy
+            wgt = eval_filter_2d(filter_type, dx, dy, pixel_width) * active
+            yy = py + oy
+            xx = px + ox
+            ob = (yy < 0) | (yy >= h) | (xx < 0) | (xx >= w)
+            wgt = jnp.where(ob, 0.0, wgt)
+            yy = jnp.clip(yy, 0, h - 1)
+            xx = jnp.clip(xx, 0, w - 1)
+            wsum = wsum.at[yy, xx].add(wgt[:, None] * color)
+            wacc = wacc.at[yy, xx].add(wgt)
+    out = dict(film)
+    out["wsum"] = wsum
+    out["w"] = wacc
+    out["nsamples"] = film["nsamples"].at[py, px].add(
+        (active > 0.0).astype(jnp.int32))
+    return out
+
+
+def splat_plane_compact(acc, val, pix, sx, sy, active, filter_type: str,
+                        pixel_width: float):
+    """splat_plane for a compacted lane set (val (N, C))."""
+    h, w = acc.shape[:2]
+    pixc = jnp.maximum(pix, 0)
+    py, px = jnp.divmod(pixc, w)
+    r = filter_radius(filter_type, pixel_width)
+    for oy in range(-r, r + 1):
+        for ox in range(-r, r + 1):
+            dx = ox + 0.5 - sx
+            dy = oy + 0.5 - sy
+            wgt = eval_filter_2d(filter_type, dx, dy, pixel_width) * active
+            yy = py + oy
+            xx = px + ox
+            ob = (yy < 0) | (yy >= h) | (xx < 0) | (xx >= w)
+            wgt = jnp.where(ob, 0.0, wgt)
+            yy = jnp.clip(yy, 0, h - 1)
+            xx = jnp.clip(xx, 0, w - 1)
+            acc = acc.at[yy, xx].add(wgt[:, None] * val)
+    return acc
+
+
 def film_image(film: dict) -> jnp.ndarray:
     """Current weighted-mean image (H,W,3), linear RGB."""
     img = film["wsum"] / jnp.maximum(film["w"], 1e-8)[..., None]

@@ -479,8 +479,20 @@ def _ambient_occlusion(scene_arrays, static, cfg, sp, row, wo, n_f,
 
 def make_sample_step(static, camera, cfg: RenderConfig,
                      mode: str | None = None, caustic=None,
-                     bd_exclude_caustics: bool = False):
+                     bd_exclude_caustics: bool = False,
+                     compact_n: int = 0):
     """Builds the jittable one-sample-per-pixel step function.
+
+    compact_n: when > 0, build the COMPACT adaptive-pass variant
+    instead — sample_step(scene_arrays, film, pix_idx) with pix_idx a
+    (compact_n,) i32 array of flat pixel ids (-1 = dead lane).  Lanes
+    cover only the listed pixels, so the wavefront cost of a resample
+    pass scales with the flagged-pixel count rather than H*W (the
+    reference imagefilm resamples exactly the flagged pixels —
+    SURVEY §2.11; dense masking can't reclaim that on a SIMD wavefront,
+    compaction can).  QMC streams stay per-PIXEL (hash and sample index
+    are derived from the pixel id and the film's nsamples plane), so a
+    compact pass draws the same sample sequence the dense pass would.
 
     mode: "path" (pathtracing) or "direct" (directlighting: continuation
     only through specular/dispersive chains, depth = raydepth).
@@ -501,7 +513,8 @@ def make_sample_step(static, camera, cfg: RenderConfig,
     mode = mode or ("path" if cfg.integrator == "pathtracing" else "direct")
     h, w = cfg.height, cfg.width
     spb = max(1, cfg.spp_batch)
-    n = h * w * spb
+    n_pix = compact_n if compact_n else h * w
+    n = n_pix * spb
     base_bounces = (cfg.bounces if mode == "path" else cfg.raydepth)
     # per-material additionalDepth (reference material.h): the scan is
     # extended by the table's max and lanes are gated per-lane on a
@@ -520,15 +533,22 @@ def make_sample_step(static, camera, cfg: RenderConfig,
     from ..cameras.base import pixel_cone
 
     cone0_s, cone0_w = pixel_cone(camera)
-    lane_pix = jnp.arange(n, dtype=jnp.int32) % (h * w)
-    lane_k = (jnp.arange(n, dtype=jnp.int32) // (h * w)).astype(jnp.uint32)
-    py, px = jnp.divmod(lane_pix, w)
-    pixel_hash = qmc.hash_u32(px.astype(jnp.uint32)
-                              ^ (py.astype(jnp.uint32) << 16)
-                              ^ jnp.uint32(cfg.qmc_seed))
+    lane_k = (jnp.arange(n, dtype=jnp.int32) // n_pix).astype(jnp.uint32)
+    if compact_n:
+        # compact mode: pixel ids arrive as a step INPUT; the per-pixel
+        # hash/coords become dynamic (sample_step_compact below)
+        lane_pix = py = px = pixel_hash = None
+    else:
+        lane_pix = jnp.arange(n, dtype=jnp.int32) % (h * w)
+        py, px = jnp.divmod(lane_pix, w)
+        pixel_hash = qmc.hash_u32(px.astype(jnp.uint32)
+                                  ^ (py.astype(jnp.uint32) << 16)
+                                  ^ jnp.uint32(cfg.qmc_seed))
 
     def shade_vertex(scene_arrays, state, bounce_dim, bounce_idx, s_idx,
-                     first: bool):
+                     first: bool, ph=None):
+        if ph is None:
+            ph = pixel_hash
         """One path vertex: intersect, add bg/emission (MIS), NEE, sample
         the continuation.  `state` carries the wavefront lanes."""
         (org, dirn, throughput, alive, spec_mask, prev_pdf, medium_sigma,
@@ -567,7 +587,7 @@ def make_sample_step(static, camera, cfg: RenderConfig,
             vdist = jnp.where(hit.hit, hit.t, 1e8)
             l_vol, t_vol = integrate_volume(
                 static.volumes, cfg.vol_integrator, scene_arrays, static,
-                cfg, _shadow, org, dirn, vdist, s_idx, pixel_hash,
+                cfg, _shadow, org, dirn, vdist, s_idx, ph,
             )
             L = L + jnp.where(alive[..., None], throughput * l_vol, 0.0)
             throughput = throughput * t_vol[..., None]
@@ -695,10 +715,10 @@ def make_sample_step(static, camera, cfg: RenderConfig,
         sp_sh = dict(sp, n=n_sh, ng=ng_sh)
 
         if dyn:
-            skey_b = qmc.hash_combine(pixel_hash,
+            skey_b = qmc.hash_combine(ph,
                                       bounce_idx.astype(jnp.uint32))
         else:
-            skey_b = qmc.hash_combine(pixel_hash, jnp.uint32(bounce_idx))
+            skey_b = qmc.hash_combine(ph, jnp.uint32(bounce_idx))
 
         # ---- NEE ----
         Ld, sh_rays, shadow_mean = _direct_lighting(
@@ -890,16 +910,9 @@ def make_sample_step(static, camera, cfg: RenderConfig,
             return state, aux
         return state
 
-    def sample_step(scene_arrays, film, flags):
-        base_idx = film["nsamples"].reshape(-1).astype(jnp.uint32)
-        s_idx = jnp.tile(base_idx, spb) + lane_k
-        active = jnp.tile(flags.reshape(-1), spb)
-
-        dx, dy = qmc.sample_dim_pair(s_idx, qmc.DIM_PIXEL_X, pixel_hash)
-        lu, lv = qmc.sample_dim_pair(s_idx, qmc.DIM_LENS_U, pixel_hash)
-        org, dirn, wt = shoot_rays(camera, px.astype(jnp.float32) + dx,
-                                   py.astype(jnp.float32) + dy, lu, lv)
-
+    def _run_wavefront(scene_arrays, s_idx, ph, org, dirn, wt, active):
+        """Bounce 0 + scan shared by the dense and compact steps.
+        Returns the final state tuple (and bounce-0 aux)."""
         state = (
             org, dirn,
             jnp.ones((n, 3), jnp.float32),  # throughput
@@ -920,23 +933,89 @@ def make_sample_step(static, camera, cfg: RenderConfig,
             jnp.zeros((n, 3), jnp.float32),  # L
             jnp.sum((active & (wt > 0.0)).astype(jnp.float32)),  # nrays
         )
-
-        # bounce 0: full NEE sample counts, static dims
-        state, aux = shade_vertex(scene_arrays, state, qmc.bounce_dim(0, 0),
-                                  0, s_idx, first=True)
-
-        # bounces 1..n under scan: body traced once
+        state, aux = shade_vertex(scene_arrays, state,
+                                  qmc.bounce_dim(0, 0), 0, s_idx,
+                                  first=True, ph=ph)
         if n_bounces >= 1:
             def body(st, b):
                 bdim = (jnp.uint32(qmc.BOUNCE_DIMS_START)
                         + b * jnp.uint32(qmc.DIMS_PER_BOUNCE))
                 st = shade_vertex(scene_arrays, st, bdim, b, s_idx,
-                                  first=False)
+                                  first=False, ph=ph)
                 return st, None
 
             state, _ = lax.scan(
-                body, state, jnp.arange(1, n_bounces + 1, dtype=jnp.uint32)
-            )
+                body, state,
+                jnp.arange(1, n_bounces + 1, dtype=jnp.uint32))
+        return state, aux
+
+    if compact_n:
+        from ..film.imagefilm import film_splat_compact, splat_plane_compact
+
+        def sample_step_compact(scene_arrays, film, pix_idx):
+            lane_pix_d = jnp.tile(pix_idx, spb)          # (n,)
+            active = lane_pix_d >= 0
+            lanep = jnp.maximum(lane_pix_d, 0)
+            py_d, px_d = jnp.divmod(lanep, w)
+            ph = qmc.hash_u32(px_d.astype(jnp.uint32)
+                              ^ (py_d.astype(jnp.uint32) << 16)
+                              ^ jnp.uint32(cfg.qmc_seed))
+            base_idx = film["nsamples"].reshape(-1).astype(
+                jnp.uint32)[lanep]
+            s_idx = base_idx + lane_k
+            dx, dy = qmc.sample_dim_pair(s_idx, qmc.DIM_PIXEL_X, ph)
+            lu, lv = qmc.sample_dim_pair(s_idx, qmc.DIM_LENS_U, ph)
+            org, dirn, wt = shoot_rays(camera,
+                                       px_d.astype(jnp.float32) + dx,
+                                       py_d.astype(jnp.float32) + dy,
+                                       lu, lv)
+            state, _ = _run_wavefront(scene_arrays, s_idx, ph, org, dirn,
+                                      wt, active)
+            L = state[-2] * wt[..., None]
+            nrays = state[-1]
+            actf = active.astype(jnp.float32)
+            frag = dict(wsum=jnp.zeros_like(film["wsum"]),
+                        w=jnp.zeros_like(film["w"]),
+                        nsamples=jnp.zeros_like(film["nsamples"]))
+            for k in range(spb):
+                sl = slice(k * compact_n, (k + 1) * compact_n)
+                frag = film_splat_compact(
+                    frag, L[sl], lane_pix_d[sl], dx[sl], dy[sl],
+                    actf[sl], cfg.filter_type, cfg.aa_pixelwidth,
+                    clamp_samples=cfg.aa_clamp_samples)
+            film = dict(film,
+                        wsum=film["wsum"] + frag["wsum"],
+                        w=film["w"] + frag["w"],
+                        nsamples=film["nsamples"] + frag["nsamples"],
+                        rays=film.get("rays", 0.0) + nrays)
+            if "alpha" in film:
+                transp_l = state[13]
+                a_val = jnp.where(transp_l | (wt <= 0.0), 0.0,
+                                  1.0)[..., None]
+                aplane = jnp.zeros_like(film["alpha"])
+                for k in range(spb):
+                    sl = slice(k * compact_n, (k + 1) * compact_n)
+                    aplane = splat_plane_compact(
+                        aplane, a_val[sl], lane_pix_d[sl], dx[sl],
+                        dy[sl], actf[sl], cfg.filter_type,
+                        cfg.aa_pixelwidth)
+                film["alpha"] = film["alpha"] + aplane
+            return film
+
+        return sample_step_compact
+
+    def sample_step(scene_arrays, film, flags):
+        base_idx = film["nsamples"].reshape(-1).astype(jnp.uint32)
+        s_idx = jnp.tile(base_idx, spb) + lane_k
+        active = jnp.tile(flags.reshape(-1), spb)
+
+        dx, dy = qmc.sample_dim_pair(s_idx, qmc.DIM_PIXEL_X, pixel_hash)
+        lu, lv = qmc.sample_dim_pair(s_idx, qmc.DIM_LENS_U, pixel_hash)
+        org, dirn, wt = shoot_rays(camera, px.astype(jnp.float32) + dx,
+                                   py.astype(jnp.float32) + dy, lu, lv)
+
+        state, aux = _run_wavefront(scene_arrays, s_idx, pixel_hash, org,
+                                    dirn, wt, active)
 
         L = state[-2] * wt[..., None]
         nrays = state[-1]

@@ -5,6 +5,7 @@ sample_step advances every pixel at once; adaptive AA flags gate pixels).
 from __future__ import annotations
 
 import logging
+import os
 import time
 
 import jax
@@ -162,6 +163,19 @@ def render(cscene: CompiledScene, cfg: RenderConfig,
     f_aa = cfg.aa_sample_multiplier_factor
     f_light = cfg.aa_light_sample_multiplier_factor
     f_ind = cfg.aa_indirect_sample_multiplier_factor
+    # compact adaptive passes (reference imagefilm resamples ONLY the
+    # flagged pixels): when few pixels are flagged, gather them into a
+    # padded lane set and run the compact step variant, so resample
+    # cost scales with the flagged count instead of H*W.  Dense masking
+    # cannot reclaim that on a SIMD wavefront.  One extra jit compile
+    # per bucket size, cached across passes; disabled for sharded
+    # renders and when AOV planes accumulate per-sample data.
+    compact_ok = (mesh is None
+                  and not any(k.startswith("aov_") for k in film)
+                  and f_light == 1.0 and f_ind == 1.0
+                  and os.environ.get("LIBYAF_COMPACT", "1") == "1")
+    compact_cache: dict = {}
+    n_px = cfg.height * cfg.width
     for p in range(start_pass, cfg.aa_passes):
         spb = max(1, cfg.spp_batch)
         if p > 0 and (f_light != 1.0 or f_ind != 1.0):
@@ -199,15 +213,35 @@ def render(cscene: CompiledScene, cfg: RenderConfig,
         # virtual-device backend (threads race ahead of the rendezvous);
         # synchronize each step there.  Real TPU meshes don't need it.
         throttle = mesh is not None and jax.devices()[0].platform == "cpu"
+        run_step, run_arg = step_j, flags
+        if p > 0 and compact_ok:
+            nf = int(jnp.sum(flags))
+            nc = 512
+            while nc < nf:
+                nc *= 2
+            if nf == 0:
+                break  # nothing left to resample
+            if nc <= n_px // 2:
+                idx = np.flatnonzero(np.asarray(flags)).astype(np.int32)
+                pix = jnp.asarray(np.concatenate(
+                    [idx, np.full(nc - idx.size, -1, np.int32)]))
+                if nc not in compact_cache:
+                    stc = make_sample_step(
+                        cscene.static, cscene.camera, cfg,
+                        caustic=caustic, compact_n=nc)
+                    compact_cache[nc] = jax.jit(stc, donate_argnums=(1,))
+                run_step, run_arg = compact_cache[nc], pix
+                log.info("adaptive pass %d: compact %d flagged -> %d "
+                         "lanes (of %d pixels)", p, nf, nc, n_px)
         last_autosave = time.perf_counter()
         for s in range(n_steps):
             if first_step_s is None:
                 t_f = time.perf_counter()
-                film = step_j(arrays, film, flags)
+                film = run_step(arrays, film, run_arg)
                 jax.block_until_ready(film["wsum"])
                 first_step_s = time.perf_counter() - t_f
             else:
-                film = step_j(arrays, film, flags)
+                film = run_step(arrays, film, run_arg)
                 if throttle:
                     jax.block_until_ready(film["wsum"])
             if (cfg.autosave_interval_type == "time" and film_path
