@@ -477,6 +477,18 @@ def _ambient_occlusion(scene_arrays, static, cfg, sp, row, wo, n_f,
     return ao * ao_col / ns
 
 
+def _clamped_sample(color, clamp_samples: float):
+    """The AA_clamp_samples transform film_splat applies to wsum — the
+    m2 plane must see the SAME clamped sample or the variance estimate
+    diverges from the mean it is paired with."""
+    if clamp_samples <= 0.0:
+        return color
+    m = jnp.max(color, axis=-1, keepdims=True)
+    scale = jnp.where(m > clamp_samples,
+                      clamp_samples / jnp.maximum(m, 1e-9), 1.0)
+    return color * scale
+
+
 def make_sample_step(static, camera, cfg: RenderConfig,
                      mode: str | None = None, caustic=None,
                      bd_exclude_caustics: bool = False,
@@ -753,7 +765,7 @@ def make_sample_step(static, camera, cfg: RenderConfig,
             from ..core.sampling import INV_PI as _INV_PI
             from ..materials.base import MT_COATED_GLOSSY as _MTC, \
                 MT_GLOSSY as _MTG, MT_SHINYDIFFUSE as _MTS
-            from ..ops.photon_flash import density_flash as _dens
+            from ..ops.photon_flash import density_auto as _dens
 
             c_radius, c_nem = caustic
             cflux, _ = _dens(scene_arrays["pm_caustic"], sp["p"], n_sh,
@@ -936,17 +948,26 @@ def make_sample_step(static, camera, cfg: RenderConfig,
         state, aux = shade_vertex(scene_arrays, state,
                                   qmc.bounce_dim(0, 0), 0, s_idx,
                                   first=True, ph=ph)
+        occ0 = jnp.sum(state[3].astype(jnp.float32))
         if n_bounces >= 1:
             def body(st, b):
                 bdim = (jnp.uint32(qmc.BOUNCE_DIMS_START)
                         + b * jnp.uint32(qmc.DIMS_PER_BOUNCE))
                 st = shade_vertex(scene_arrays, st, bdim, b, s_idx,
                                   first=False, ph=ph)
-                return st, None
+                return st, jnp.sum(st[3].astype(jnp.float32))
 
-            state, _ = lax.scan(
+            state, occ_t = lax.scan(
                 body, state,
                 jnp.arange(1, n_bounces + 1, dtype=jnp.uint32))
+            occ = jnp.concatenate([occ0[None], occ_t])
+        else:
+            occ = occ0[None]
+        # per-bounce live-lane counts (occupancy diagnostics): lanes
+        # still alive ENTERING bounce b+1, i.e. after bounce b's shade.
+        # Accumulated only when the film carries an "occupancy" plane
+        # (scripts/probe_occupancy.py); DCE'd otherwise.
+        aux["_occupancy"] = occ
         return state, aux
 
     if compact_n:
@@ -1000,6 +1021,16 @@ def make_sample_step(static, camera, cfg: RenderConfig,
                         dy[sl], actf[sl], cfg.filter_type,
                         cfg.aa_pixelwidth)
                 film["alpha"] = film["alpha"] + aplane
+            if "m2" in film:
+                L2 = _clamped_sample(L, cfg.aa_clamp_samples)
+                m2p = jnp.zeros_like(film["m2"])
+                for k in range(spb):
+                    sl = slice(k * compact_n, (k + 1) * compact_n)
+                    m2p = splat_plane_compact(
+                        m2p, L2[sl] * L2[sl], lane_pix_d[sl], dx[sl],
+                        dy[sl], actf[sl], cfg.filter_type,
+                        cfg.aa_pixelwidth)
+                film["m2"] = film["m2"] + m2p
             return film
 
         return sample_step_compact
@@ -1047,6 +1078,11 @@ def make_sample_step(static, camera, cfg: RenderConfig,
                     w=film["w"] + frag["w"],
                     nsamples=film["nsamples"] + frag["nsamples"],
                     rays=film.get("rays", 0.0) + nrays)
+        if "occupancy" in film:
+            film["occupancy"] = film["occupancy"] + aux["_occupancy"]
+            film["occupancy0"] = (film.get("occupancy0", 0.0)
+                                  + jnp.sum((active & (wt > 0.0))
+                                            .astype(jnp.float32)))
         if "alpha" in film:
             from ..film.imagefilm import splat_plane as _splat_plane
 
@@ -1059,6 +1095,17 @@ def make_sample_step(static, camera, cfg: RenderConfig,
                                       flags.astype(jnp.float32),
                                       cfg.filter_type, cfg.aa_pixelwidth)
             film["alpha"] = film["alpha"] + aplane
+        if "m2" in film:
+            from ..film.imagefilm import splat_plane as _splat_plane2
+
+            L2s = _clamped_sample(L, cfg.aa_clamp_samples).reshape(
+                spb, h, w, 3)
+            m2p = jnp.zeros_like(film["m2"])
+            for k in range(spb):
+                m2p = _splat_plane2(m2p, L2s[k] * L2s[k], dxs[k], dys[k],
+                                    flags.astype(jnp.float32),
+                                    cfg.filter_type, cfg.aa_pixelwidth)
+            film["m2"] = film["m2"] + m2p
         # AOV planes.  The planes that enter the indirect-pass
         # decomposition (combined - direct - emit - reflect - refract)
         # are accumulated FILTER-WEIGHTED, exactly like wsum, so the

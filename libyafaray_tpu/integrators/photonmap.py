@@ -28,8 +28,8 @@ from ..film.imagefilm import film_init, film_splat
 from ..materials import bsdf
 from ..materials.base import MT_COATED_GLOSSY, MT_GLOSSY, MT_SHINYDIFFUSE, \
     gather_rows
-from ..ops.photon_flash import make_photon_pack, density_flash, \
-    nearest_flash
+from ..ops.photon_flash import (make_photon_pack, make_photon_pack_auto,
+    density_flash, density_auto, nearest_flash)
 from .config import RenderConfig
 from .engine import _closest_hit, _surface_point, _direct_lighting, \
     make_sample_step
@@ -99,7 +99,7 @@ def build_caustic_map(cscene, cfg: RenderConfig, arrays):
     cap = max(4096, -(-n_stored // 4096) * 4096)
     rec = jax.jit(compact_photons_device, static_argnames=("cap",))(
         rec, cap)
-    pack = make_photon_pack(rec["pos"], rec["valid"], rec["dir"],
+    pack = make_photon_pack_auto(rec["pos"], rec["valid"], rec["dir"],
                             rec["power"])
     return pack, c_radius, lanes
 
@@ -169,9 +169,9 @@ def build_photon_maps(cscene, cfg: RenderConfig, arrays, mesh=None):
              int(jnp.sum(rec_c["valid"])), n_em_c,
              time.perf_counter() - t0)
 
-    diffuse_pack = make_photon_pack(rec_d["pos"], rec_d["valid"],
+    diffuse_pack = make_photon_pack_auto(rec_d["pos"], rec_d["valid"],
                                     rec_d["dir"], rec_d["power"])
-    caustic_pack = make_photon_pack(rec_c["pos"], rec_c["valid"],
+    caustic_pack = make_photon_pack_auto(rec_c["pos"], rec_c["valid"],
                                     rec_c["dir"], rec_c["power"])
 
     radiance_pack = None
@@ -195,7 +195,7 @@ def build_photon_maps(cscene, cfg: RenderConfig, arrays, mesh=None):
         rad_mat = rec_d["mat"][::stride]
         chunk = 1 << 16
         nq = qp.shape[0]
-        dens = jax.jit(lambda pk, a, b: density_flash(
+        dens = jax.jit(lambda pk, a, b: density_auto(
             pk, a, b, d_radius * 2.0))
         parts = []
         for c0 in range(0, nq, chunk):
@@ -358,7 +358,7 @@ def make_photon_sample_step(cscene, cfg: RenderConfig, grids, mesh=None):
 
         # caustic map density
         if has_caustic and not show_map:
-            cflux, _ = density_flash(arrays["pm_caustic"], hp_p, hp_n,
+            cflux, _ = density_auto(arrays["pm_caustic"], hp_p, hp_n,
                                      c_radius)
             lc = cflux / (np.pi * c_radius * c_radius) / n_em_c
             f_c = (row["diffuse_reflect"][..., None]

@@ -35,7 +35,7 @@ from ..film.imagefilm import film_init, film_splat
 from ..materials import bsdf
 from ..materials.base import MT_COATED_GLOSSY, MT_GLOSSY, MT_SHINYDIFFUSE, \
     gather_rows
-from ..ops.photon_flash import make_photon_pack, density_flash
+from ..ops.photon_flash import (make_photon_pack_auto, density_auto)
 from .config import RenderConfig
 from .engine import _closest_hit, _direct_lighting, _surface_point
 from .photonmap import _light_cdf, MAX_PHOTON_LANES
@@ -146,7 +146,7 @@ def flux_update(hitpoints, pack, r2, n_acc, tau, alpha: float):
     """Gather this pass's photons into hitpoints; progressive update.
     density_flash handles the per-hitpoint radius and the front-side test
     (photon stored incoming direction vs hitpoint normal)."""
-    flux, m = density_flash(pack, hitpoints["pos"], hitpoints["normal"],
+    flux, m = density_auto(pack, hitpoints["pos"], hitpoints["normal"],
                             jnp.sqrt(r2))
     m = jnp.where(hitpoints["valid"], m, 0.0)
     # BSDF at hitpoint is Lambertian: f = fd (ρ/π)
@@ -272,7 +272,7 @@ def render_sppm(cscene, cfg: RenderConfig, progress_cb=None, mesh=None,
             # single traced compaction feeding the pack directly
             def _comp_fn(r):
                 c = compact_photons_device(r, cap)
-                return make_photon_pack(c["pos"], c["valid"], c["dir"],
+                return make_photon_pack_auto(c["pos"], c["valid"], c["dir"],
                                         c["power"])
 
             comp = jax.jit(_comp_fn)

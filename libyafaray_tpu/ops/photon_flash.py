@@ -250,3 +250,204 @@ def _nearest_ref(pack, qp, r2, n):
          jnp.zeros((qp.shape[0], 3), jnp.float32)),
         (pos, vals))
     return val[:n], jnp.isfinite(best[:n, 0])
+
+
+# ---------------------------------------------------------------------------
+# Morton-culled gather (r4, VERDICT r3 #3): the flash sweep is exact
+# O(N·M) — perfect at 0.2-1M photons, but the reference holds 10^6-10^7
+# (SURVEY §5.7) and at 10M the (Q/BQ, P/BP) grid alone is ~5M steps.
+# Scale path: sort photons by Morton code into BP-wide clusters with
+# AABBs, sort queries the same way, and per query block DMA-stream ONLY
+# the clusters whose box is within the block's max gather radius — the
+# same streaming-list trick as ops/pallas_intersect, radius-disc instead
+# of ray-corridor.  Exact: a photon within radius r of a query q lies in
+# a cluster whose AABB is within r of q, hence within rmax(block) of the
+# block's query box.
+# ---------------------------------------------------------------------------
+
+def _spread3(x):
+    x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
+def _morton_points(p, lo, hi):
+    q = jnp.clip((p - lo) / jnp.maximum(hi - lo, 1e-9) * 1023.0,
+                 0.0, 1023.0).astype(jnp.uint32)
+    return (_spread3(q[:, 0]) | (_spread3(q[:, 1]) << 1)
+            | (_spread3(q[:, 2]) << 2))
+
+
+def make_photon_pack_sorted(pos, valid, direction, value) -> dict:
+    """Morton-sorted photon pack + per-cluster AABBs for the culled
+    gather.  Same contract as make_photon_pack (pass as jit ARGS)."""
+    pos = pos.astype(jnp.float32)
+    lo = jnp.min(jnp.where(valid[:, None], pos, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(valid[:, None], pos, -jnp.inf), axis=0)
+    key = jnp.where(valid, _morton_points(pos, lo, hi),
+                    jnp.uint32(0xFFFFFFFF))
+    perm = jnp.argsort(key)
+    pos, direction = pos[perm], direction.astype(jnp.float32)[perm]
+    value, valid = value.astype(jnp.float32)[perm], valid[perm]
+    p = pos.shape[0]
+    pad = (-p) % BP
+    if pad:
+        z3 = ((0, pad), (0, 0))
+        pos = jnp.pad(pos, z3)
+        direction = jnp.pad(direction, z3)
+        value = jnp.pad(value, z3)
+        valid = jnp.pad(valid, (0, pad))
+    posv = jnp.where(valid[:, None], pos, SENTINEL)
+    c = posv.shape[0] // BP
+    lo_c = jnp.min(jnp.where(valid[:, None], pos, jnp.inf)
+                   .reshape(c, BP, 3), axis=1)
+    hi_c = jnp.max(jnp.where(valid[:, None], pos, -jnp.inf)
+                   .reshape(c, BP, 3), axis=1)
+    # one streamable (16, P') table: rows 0:3 pos, 3:6 dir, 6:9 value
+    tbl = jnp.concatenate([
+        posv.T, direction.T, value.T,
+        jnp.zeros((7, posv.shape[0]), jnp.float32)], axis=0)
+    return dict(tbl=tbl, cl_lo=lo_c, cl_hi=hi_c,
+                n_valid=jnp.sum(valid.astype(jnp.int32)))
+
+
+def _q8(query_p, query_n, r2):
+    """(8, NQ') transposed query rows [x y z nx ny nz r2 pad], padded to
+    a BQ multiple with far-sentinel positions."""
+    n = query_p.shape[0]
+    pad = (-n) % BQ
+    qp = jnp.pad(query_p.astype(jnp.float32), ((0, pad), (0, 0)),
+                 constant_values=-SENTINEL)
+    qn = jnp.pad(query_n.astype(jnp.float32), ((0, pad), (0, 0)))
+    r2p = jnp.pad(r2[:, 0], (0, pad))
+    return jnp.concatenate([qp.T, qn.T, r2p[None],
+                            jnp.zeros((1, qp.shape[0]), jnp.float32)],
+                           axis=0), n
+
+
+def _density_kernel_culled(order_hbm, count_ref, tbl_hbm, q_ref,
+                           flux_out, cnt_out,
+                           tile_buf, ord_smem, sems, osem):
+    i = pl.program_id(0)
+    cnt = count_ref[i]
+    sub = i % 8
+
+    @pl.when(sub == 0)
+    def _():
+        ocp = pltpu.make_async_copy(order_hbm.at[i // 8], ord_smem, osem)
+        ocp.start()
+        ocp.wait()
+
+    q = q_ref[...].T                       # (BQ, 8)
+    qp, qn, r2 = q[:, 0:3], q[:, 3:6], q[:, 6:7]
+    flux_out[:] = jnp.zeros_like(flux_out)
+    cnt_out[:] = jnp.zeros_like(cnt_out)
+    cmax = ord_smem.shape[1] - 1
+
+    def get_dma(slot, j):
+        cid = ord_smem[sub, jnp.minimum(j, cmax)]
+        return pltpu.make_async_copy(
+            tbl_hbm.at[:, pl.ds(cid * BP, BP)],
+            tile_buf.at[slot], sems.at[slot])
+
+    def process(slot, j):
+        t = tile_buf[slot]
+        dx = qp[:, 0:1] - t[0:1, :]
+        dy = qp[:, 1:2] - t[1:2, :]
+        dz = qp[:, 2:3] - t[2:3, :]
+        d2 = dx * dx + dy * dy + dz * dz
+        side = (qn[:, 0:1] * t[3:4, :] + qn[:, 1:2] * t[4:5, :]
+                + qn[:, 2:3] * t[5:6, :])
+        wgt = ((d2 <= r2) & (side > 0.0)).astype(jnp.float32)
+        flux_out[:] += jnp.dot(wgt, t[6:9, :].T,
+                               preferred_element_type=jnp.float32)
+        cnt_out[:] += jnp.sum(wgt, axis=1, keepdims=True)
+
+    from .pallas_intersect import _stream_pipeline
+
+    _stream_pipeline(cnt, get_dma, process)
+
+
+def density_culled(pack: dict, query_p, query_n, radius):
+    """density_flash semantics via per-block cluster culling — the
+    photon-count-scalable path (use for packs above ~1M photons)."""
+    nq = query_p.shape[0]
+    r2 = _r2_col(radius, nq)
+    # sort queries along the same Morton curve so blocks are compact
+    lo = jnp.min(pack["cl_lo"], axis=0)
+    hi = jnp.max(pack["cl_hi"], axis=0)
+    qkey = _morton_points(query_p.astype(jnp.float32), lo, hi)
+    perm = jnp.argsort(qkey)
+    q8, _ = _q8(query_p[perm], query_n[perm], r2[perm])
+    npad = q8.shape[1]
+    b = npad // BQ
+    # per-block query AABB + max radius
+    qs = q8[0:3].T.reshape(b, BQ, 3)
+    live = q8[0:3].T.reshape(b, BQ, 3)[..., 0] > -SENTINEL * 0.5
+    qlo = jnp.min(jnp.where(live[..., None], qs, jnp.inf), axis=1)
+    qhi = jnp.max(jnp.where(live[..., None], qs, -jnp.inf), axis=1)
+    rmax2 = jnp.max(q8[6].reshape(b, BQ), axis=1)           # (B,)
+    # block-box to cluster-box squared distance
+    dd = jnp.maximum(
+        jnp.maximum(pack["cl_lo"][None] - qhi[:, None], 0.0),
+        jnp.maximum(qlo[:, None] - pack["cl_hi"][None], 0.0))  # (B,C,3)
+    d2 = jnp.sum(dd * dd, axis=-1)
+    key = jnp.where(d2 <= rmax2[:, None], d2, jnp.inf)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    count = jnp.sum(jnp.isfinite(key), axis=1).astype(jnp.int32)
+    # dead tail -> repeat the last live id (no refetch, never matches)
+    jidx = jax.lax.broadcasted_iota(jnp.int32, order.shape, 1)
+    last = jnp.take_along_axis(order,
+                               jnp.maximum(count - 1, 0)[:, None], axis=1)
+    order = jnp.where(jidx < jnp.maximum(count, 1)[:, None], order, last)
+    from .pallas_intersect import _order_groups
+
+    order_g, c128 = _order_groups(order)
+    qspec = pl.BlockSpec((8, BQ), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    ospec = lambda c: pl.BlockSpec((BQ, c), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+    flux, cnt = pl.pallas_call(
+        _density_kernel_culled,
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.HBM),
+                  qspec],
+        out_specs=[ospec(3), ospec(1)],
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, BP), jnp.float32),
+            pltpu.SMEM((8, c128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((npad, 3), jnp.float32),
+            jax.ShapeDtypeStruct((npad, 1), jnp.float32),
+        ],
+        interpret=INTERPRET,
+    )(order_g, count, pack["tbl"], q8)
+    unperm = jnp.argsort(perm)
+    return flux[:nq][unperm], cnt[:nq, 0][unperm]
+
+
+CULL_MIN_PHOTONS = 1 << 20  # packs >= ~1M photons stream culled clusters
+
+
+def make_photon_pack_auto(pos, valid, direction, value) -> dict:
+    """Pack for `density_auto`: the exact flash layout at practical
+    budgets, the Morton-culled layout at reference-scale ones (the
+    O(N*M) sweep's grid alone is millions of steps at 10M photons)."""
+    if pos.shape[0] >= CULL_MIN_PHOTONS and (_use_pallas() or INTERPRET):
+        return make_photon_pack_sorted(pos, valid, direction, value)
+    return make_photon_pack(pos, valid, direction, value)
+
+
+def density_auto(pack: dict, query_p, query_n, radius):
+    """Dispatch density gather on the pack layout (see
+    make_photon_pack_auto)."""
+    if "tbl" in pack:
+        return density_culled(pack, query_p, query_n, radius)
+    return density_flash(pack, query_p, query_n, radius)

@@ -116,22 +116,25 @@ def chain_time(fn, args, iters=8):
 
     org = args[0]
 
-    def run(k):
+    # extra operands ride as jit ARGUMENTS — a closed-over concrete
+    # array is embedded in the HLO as a constant and shipped through the
+    # remote-compile tunnel (a 10M-photon pack = 640 MB body -> HTTP 413)
+    def run(k, o, *extra):
         def body(i, o):
-            out = fn(o, *args[1:])
+            out = fn(o, *extra)
             token = jnp.sum(out[-1].astype(jnp.float32))
-            return org + token * 0.0
-        o = jax.lax.fori_loop(0, k, body, org)
-        out = fn(o, *args[1:])
+            return o + token * 0.0
+        o = jax.lax.fori_loop(0, k, body, o)
+        out = fn(o, *extra)
         return jnp.sum(out[-1].astype(jnp.float32))
 
     r1 = jax.jit(run)
-    np.asarray(r1(0))  # compile once + warm
+    np.asarray(r1(0, org, *args[1:]))  # compile once + warm
     t0 = time.perf_counter()
-    np.asarray(r1(0))
+    np.asarray(r1(0, org, *args[1:]))
     t_one = time.perf_counter() - t0
     t0 = time.perf_counter()
-    np.asarray(r1(iters - 1))
+    np.asarray(r1(iters - 1, org, *args[1:]))
     t_chain = time.perf_counter() - t0
     return max(1e-9, (t_chain - t_one) / (iters - 1))
 

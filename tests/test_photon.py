@@ -86,6 +86,45 @@ def test_flash_density_nearest_match_bruteforce():
     assert np.allclose(got, val_ref, rtol=1e-4, atol=1e-5)
 
 
+def test_culled_density_matches_flash_reference():
+    """Morton-culled streaming gather (the 10^6-10^7-photon scale path,
+    VERDICT r3 #3) == the exact flash sweep: equal counts, f32-rounding
+    flux agreement, per-query radii, front-side test, invalid photons."""
+    from libyafaray_tpu.ops import photon_flash as pf
+
+    pf.INTERPRET = True
+    try:
+        rng = np.random.default_rng(13)
+        p, nq = 6000, 700
+        pos = rng.uniform(-5, 5, (p, 3)).astype(np.float32)
+        power = rng.random((p, 3)).astype(np.float32)
+        dirs = rng.normal(size=(p, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        valid = rng.random(p) > 0.1
+        qp = rng.uniform(-5, 5, (nq, 3)).astype(np.float32)
+        qn = rng.normal(size=(nq, 3)).astype(np.float32)
+        qn /= np.linalg.norm(qn, axis=1, keepdims=True)
+        radius = rng.uniform(0.2, 0.8, nq).astype(np.float32)
+
+        pack = pf.make_photon_pack_sorted(
+            jnp.asarray(pos), jnp.asarray(valid), jnp.asarray(dirs),
+            jnp.asarray(power))
+        flux, cnt = pf.density_culled(pack, jnp.asarray(qp),
+                                      jnp.asarray(qn),
+                                      jnp.asarray(radius))
+        d2 = ((qp[:, None, :] - pos[None, :, :]) ** 2).sum(-1)
+        front = (qn @ dirs.T) > 0
+        sel = (d2 <= (radius * radius)[:, None]) & valid[None] & front
+        flux_ref = (sel[..., None] * power[None]).sum(1)
+        cnt_ref = sel.sum(1)
+        assert np.array_equal(np.asarray(cnt),
+                              cnt_ref.astype(np.float32))
+        assert np.allclose(np.asarray(flux), flux_ref, rtol=1e-4,
+                           atol=1e-5)
+    finally:
+        pf.INTERPRET = False
+
+
 @pytest.fixture(scope="module")
 def cornell():
     from libyafaray_tpu.scene.xml_parser import parse_xml_file
