@@ -30,7 +30,8 @@ from .filters import eval_filter_2d, filter_radius
 
 
 def film_init(h: int, w: int, with_density: bool = False,
-              with_alpha: bool = False) -> dict:
+              with_alpha: bool = False,
+              with_variance: bool = False) -> dict:
     film = dict(
         wsum=jnp.zeros((h, w, 3), jnp.float32),
         w=jnp.zeros((h, w), jnp.float32),
@@ -44,6 +45,13 @@ def film_init(h: int, w: int, with_density: bool = False,
         # the film; bg_transp/bg_transp_refract semantics) — filter-
         # weighted like wsum, normalized by the same w at flush
         film["alpha"] = jnp.zeros((h, w, 1), jnp.float32)
+    if with_variance:
+        # second-moment plane (sum of w * C^2, same filter footprint as
+        # wsum) driving the stderr adaptive estimator — a TPU-first
+        # extension beyond the reference's neighbor-contrast detection,
+        # which cannot target a GLOBAL error level (at thresholds near
+        # the per-pixel noise it re-flags true image edges forever)
+        film["m2"] = jnp.zeros((h, w, 3), jnp.float32)
     return film
 
 
@@ -229,6 +237,34 @@ def compute_aa_flags(film: dict, threshold: float,
     for o in ((0, 1), (0, -1), (1, 0), (-1, 0)):
         dil = dil | _shift2d(flag, o[0], o[1])
     return dil
+
+
+def film_stderr(film: dict) -> jnp.ndarray:
+    """(H, W) standard-error estimate of the filtered pixel mean from
+    the film's second-moment plane: sqrt(mean_rgb(var) / w) with
+    var = m2/w - (wsum/w)^2.  Up to a filter-footprint constant this is
+    the 1-sigma error of the current pixel estimate; QMC correlation
+    makes it conservative (true error converges faster).  Used by the
+    `variance` AA estimator (flag while stderr > threshold), which CAN
+    target a global RMSE level where the reference's neighbor-contrast
+    detector can't (see film_init)."""
+    w = jnp.maximum(film["w"], 1e-9)[..., None]
+    mean = film["wsum"] / w
+    var = jnp.maximum(film["m2"] / w - mean * mean, 0.0)
+    return jnp.sqrt(jnp.mean(var, axis=-1) / w[..., 0])
+
+
+def compute_stderr_flags(film: dict, threshold: float,
+                         threshold_scale=None) -> jnp.ndarray:
+    """Per-pixel resample flags from the stderr estimator: flag while
+    the estimated 1-sigma pixel error exceeds `threshold` (optionally
+    scaled per pixel by material samplingFactor, like the contrast
+    detector).  Pixels with no samples yet always flag."""
+    thr = jnp.float32(threshold)
+    if threshold_scale is not None:
+        thr = thr * threshold_scale
+    err = film_stderr(film)
+    return (err > thr) | (film["nsamples"] < 1)
 
 
 def add_density(film: dict, contrib) -> dict:

@@ -21,6 +21,11 @@ class RenderConfig:
     aa_threshold: float = 0.05
     aa_pixelwidth: float = 1.5
     filter_type: str = "box"
+    # noise estimator for adaptive passes: "contrast" = the reference's
+    # neighbor-delta detection; "variance" = per-pixel stderr from the
+    # film's second-moment plane (TPU-first extension — can target a
+    # global RMSE level, where contrast re-flags true edges forever)
+    aa_estimator: str = "contrast"
     aa_dark_detection: str = "none"
     aa_dark_factor: float = 1.0
     aa_detect_color_noise: bool = False
@@ -139,6 +144,9 @@ def config_from_params(render: ParamMap, integ: ParamMap,
         aa_threshold=aa_t,
         aa_pixelwidth=render.get_float("AA_pixelwidth", 1.5),
         filter_type=render.get_str("filter_type", "box").lower(),
+        aa_estimator=render.get_str(
+            "AA_estimator",
+            integ.get_str("AA_estimator", "contrast")).lower(),
         aa_dark_detection=render.get_str("AA_dark_detection_type", "none"),
         aa_dark_factor=render.get_float("AA_dark_threshold_factor", 1.0),
         aa_detect_color_noise=render.get_bool("AA_detect_color_noise", False),

@@ -112,7 +112,9 @@ def render(cscene: CompiledScene, cfg: RenderConfig,
                             caustic=caustic)
 
     film = film_init(cfg.height, cfg.width,
-                     with_alpha=cfg.transp_background)
+                     with_alpha=cfg.transp_background,
+                     with_variance=(cfg.aa_passes > 1
+                                    and cfg.aa_estimator == "variance"))
     film["rays"] = jnp.zeros((), jnp.float32)
     if cfg.passes:
         from ..film.passes import film_add_passes
@@ -202,10 +204,16 @@ def render(cscene: CompiledScene, cfg: RenderConfig,
                 sfac = (film["aov_samp_factor"][..., 0]
                         / jnp.maximum(film["nsamples"], 1.0))
                 thr_scale = 1.0 / jnp.maximum(sfac, 1e-3)
-            flags = compute_aa_flags(
-                film, thr, cfg.aa_dark_detection, cfg.aa_dark_factor,
-                cfg.aa_detect_color_noise, threshold_scale=thr_scale,
-            )
+            if cfg.aa_estimator == "variance":
+                from ..film.imagefilm import compute_stderr_flags
+
+                flags = compute_stderr_flags(film, thr,
+                                             threshold_scale=thr_scale)
+            else:
+                flags = compute_aa_flags(
+                    film, thr, cfg.aa_dark_detection, cfg.aa_dark_factor,
+                    cfg.aa_detect_color_noise, threshold_scale=thr_scale,
+                )
             n_steps = max(1, round(-(-cfg.aa_inc_samples // spb)
                                    * (f_aa ** p)))
         # XLA CPU's collective rendezvous (40 s deadline) deadlocks when

@@ -51,6 +51,13 @@ def main():
     ap.add_argument("--aa-threshold", type=float, default=2e-3)
     ap.add_argument("--dark", default="linear",
                     help="AA dark detection type for the adaptive run")
+    # estimator for the adaptive run: "contrast" (reference neighbor-
+    # delta; measured 32.5 s — at thresholds near the target it re-flags
+    # true edges forever and degenerates to uniform-plus-overhead) or
+    # "variance" (film m2 stderr — unflags pixels as their ESTIMATED
+    # error crosses the target, concentrating samples on noisy ones)
+    ap.add_argument("--estimator", default="variance",
+                    choices=("contrast", "variance"))
     args = ap.parse_args()
 
     import jax
@@ -87,12 +94,21 @@ def main():
 
     def run(cfg, n_steps, probe=None):
         """probe: optional (every, golden) -> list of (steady_s, spp,
-        rays, rmse) checkpoints."""
+        rays, rmse) checkpoints.  The RMSE probe runs ON DEVICE (one
+        scalar pull per check) — the r3 protocol's host image pull cost
+        ~0.07 s of its 0.175 s/step."""
         step = jax.jit(make_sample_step(cscene.static, cscene.camera, cfg),
                        donate_argnums=(1,))
+        rmse_dev = None
+        if probe is not None:
+            golden_d = jnp.asarray(probe[1])
+            rmse_dev = jax.jit(lambda f: jnp.sqrt(jnp.mean(
+                (film_image(f) - golden_d) ** 2)))
         f = film_init(args.size, args.size)
         f["rays"] = jnp.zeros((), jnp.float32)
         f = step(arrays, f, flags)             # warmup/compile
+        if rmse_dev is not None:
+            rmse_dev(f)
         jax.block_until_ready(f["wsum"])
         f = film_init(args.size, args.size)
         f["rays"] = jnp.zeros((), jnp.float32)
@@ -101,9 +117,8 @@ def main():
         for i in range(1, n_steps + 1):
             f = step(arrays, f, flags)
             if probe is not None and i % probe[0] == 0:
-                img = np.asarray(film_image(f))
+                rmse = float(rmse_dev(f))
                 dt = time.perf_counter() - t0
-                rmse = float(np.sqrt(np.mean((img - probe[1]) ** 2)))
                 out.append((dt, i * cfg.spp_batch,
                             float(f["rays"]), rmse))
                 if rmse <= args.threshold:
@@ -124,9 +139,11 @@ def main():
           flush=True)
 
     if args.adaptive:
-        from libyafaray_tpu.film.imagefilm import compute_aa_flags
+        from libyafaray_tpu.film.imagefilm import (compute_aa_flags,
+                                                   compute_stderr_flags)
 
         cfg = make_cfg(0)
+        use_var = args.estimator == "variance"
         step_dense = jax.jit(
             make_sample_step(cscene.static, cscene.camera, cfg),
             donate_argnums=(1,))
@@ -139,14 +156,29 @@ def main():
                 make_sample_step(cscene.static, cscene.camera, cfg,
                                  compact_n=nc), donate_argnums=(1,))
 
+        golden_dev = jnp.asarray(golden)
+
+        @jax.jit
+        def probe_dev(f):
+            """One fused device probe: global RMSE vs golden + flags —
+            replaces the per-pass host image pull (~0.07 s/step)."""
+            img = film_image(f)
+            rmse = jnp.sqrt(jnp.mean((img - golden_dev) ** 2))
+            if use_var:
+                fl = compute_stderr_flags(f, args.aa_threshold)
+            else:
+                fl = compute_aa_flags(f, args.aa_threshold, args.dark, 1.0)
+            return rmse, fl, jnp.sum(fl.astype(jnp.int32))
+
         def fresh():
-            f = film_init(args.size, args.size)
+            f = film_init(args.size, args.size, with_variance=use_var)
             f["rays"] = jnp.zeros((), jnp.float32)
             return f
 
         # pre-warm every compiled program off the clock
         warm = fresh()
         warm = step_dense(arrays, warm, flags)
+        probe_dev(warm)
         for nc in buckets:
             dummy = jnp.full((nc,), -1, jnp.int32).at[0].set(0)
             warm = compact[nc](arrays, warm, dummy)
@@ -161,11 +193,9 @@ def main():
         spp = p0_steps * args.spp_step
         inc_steps = 1  # one spp_step-spp burst per adaptive pass
         for p in range(1, args.max_steps):
-            img = np.asarray(film_image(f))
+            rmse_d, fl, nf_d = probe_dev(f)
+            rmse, nf = float(rmse_d), int(nf_d)
             dt = time.perf_counter() - t0
-            rmse = float(np.sqrt(np.mean((img - golden) ** 2)))
-            fl = compute_aa_flags(f, args.aa_threshold, args.dark, 1.0)
-            nf = int(jnp.sum(fl))
             checkpoints.append((dt, spp, float(f["rays"]), rmse, nf))
             if rmse <= args.threshold or nf == 0:
                 break
@@ -192,6 +222,7 @@ def main():
             "resolution": f"{args.size}x{args.size}",
             "pass0_spp": args.pass0_spp,
             "aa_threshold": args.aa_threshold,
+            "estimator": args.estimator,
             "golden_spp": g_steps * args.spp_step,
             "noise_floor": floor,
             "reached": bool(hit),

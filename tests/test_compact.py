@@ -30,9 +30,12 @@ def _scene(res=32, aa_passes=1, threshold=0.05):
     s.add_triangle((-1.0, -1.0, 3.0), (1.0, -1.0, 3.0), (1.0, 1.0, 3.0),
                    "lamp")
     s.end_tri_mesh()
+    # corner/point1/point2 ordered so e1 x e2 points DOWN (-z) at the
+    # floor — the arealight is single-sided; the first version of this
+    # scene faced it up and every test compared all-black films
     s.create_light("l", ParamMap({
         "type": "arealight", "corner": (-1.0, -1.0, 2.9),
-        "point1": (1.0, -1.0, 2.9), "point2": (-1.0, 1.0, 2.9),
+        "point1": (-1.0, 1.0, 2.9), "point2": (1.0, -1.0, 2.9),
         "color": (1.0, 1.0, 1.0), "power": 20.0, "samples": 1}))
     s.create_camera("cam", ParamMap({
         "type": "perspective", "resx": res, "resy": res,
@@ -111,3 +114,52 @@ def test_render_compact_pass_matches_dense(monkeypatch):
     ns0 = np.asarray(r0.film["nsamples"])
     assert np.array_equal(ns1, ns0)
     assert np.allclose(r1.image, r0.image, atol=2e-5)
+
+
+def test_film_stderr_math():
+    """film_stderr == sqrt(mean_rgb(var)/w) for a hand-built film."""
+    from libyafaray_tpu.film.imagefilm import film_stderr
+
+    rng = np.random.default_rng(3)
+    n = 64
+    samples = rng.random((n, 2, 2, 3)).astype(np.float32)
+    film = dict(
+        wsum=jnp.asarray(samples.sum(0)),
+        w=jnp.full((2, 2), float(n), jnp.float32),
+        m2=jnp.asarray((samples ** 2).sum(0)),
+        nsamples=jnp.full((2, 2), n, jnp.int32),
+    )
+    got = np.asarray(film_stderr(film))
+    var = samples.var(axis=0)           # population variance
+    want = np.sqrt(var.mean(axis=-1) / n)
+    assert np.allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_variance_estimator_adaptive_render():
+    """AA_estimator=variance: the stderr-driven adaptive render unflags
+    converged pixels (sample counts become nonuniform) and agrees with
+    the uniform render's image."""
+    s = _scene(res=32, aa_passes=1)
+    s.render_params["AA_minsamples"] = 24
+    c = s.compile()
+    ref = render(c, build_config(s))
+
+    s2 = _scene(res=32, aa_passes=6)
+    s2.render_params["AA_minsamples"] = 4
+    s2.render_params["AA_inc_samples"] = 4
+    s2.render_params["AA_estimator"] = "variance"
+    # pass-0 stderr on this scene spans 0..0.013: a 4e-3 target keeps
+    # the noisier half flagged and unflags the converged pixels
+    s2.render_params["AA_threshold"] = 0.004
+    c2 = s2.compile()
+    cfg2 = build_config(s2)
+    assert cfg2.aa_estimator == "variance"
+    r = render(c2, cfg2)
+    ns = np.asarray(r.film["nsamples"])
+    assert "m2" in r.film
+    # stderr-driven unflagging concentrates samples: counts nonuniform
+    assert ns.min() >= 4 and ns.max() > ns.min()
+    assert np.isfinite(r.image).all()
+    # same physics: images agree to sampling noise
+    d = float(np.sqrt(np.mean((r.image - ref.image) ** 2)))
+    assert d < 0.08, d
