@@ -1587,6 +1587,52 @@ def _ee_mode() -> bool:
     return os.environ.get("LIBYAF_EE", "1") == "1"
 
 
+def _sort_mode() -> str:
+    """Ray ordering for the fine sweeps: 'morton' = origin Morton code
+    + direction octant (_ray_sort_perm); 'entry' = corridor-head sort
+    (first fine cluster the ray's corridor enters, then octant) — the
+    per-block list UNION matters most in the first front-to-back groups
+    where EE resolves most rays, and rays sharing their corridor head
+    share exactly those."""
+    import os
+
+    return os.environ.get("LIBYAF_SORT", "morton")
+
+
+def _entry_sort_perm(org, dirn, tmin, tmax, sub8p, n_sc: int,
+                     ch: int = 64):
+    """Corridor-head ray ordering (see _sort_mode).  Chunked running
+    argmin over the fine AABB table bounds the (N, ch) temporaries.
+    Misses (no cluster entered) sort to the tail.  Returns (perm, inv)."""
+    n = org.shape[0]
+    iv = _inv_dir(dirn)
+    lo = sub8p[0:3, :n_sc].T
+    hi = sub8p[3:6, :n_sc].T
+    best = jnp.full((n,), jnp.inf, jnp.float32)
+    bid = jnp.full((n,), n_sc, jnp.int32)
+    for c0 in range(0, n_sc, ch):
+        t0 = (lo[None, c0:c0 + ch] - org[:, None]) * iv[:, None]
+        t1 = (hi[None, c0:c0 + ch] - org[:, None]) * iv[:, None]
+        ent = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1),
+                          tmin[:, None])
+        ext = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=-1),
+                          tmax[:, None])
+        ent = jnp.where(ent <= ext, ent, jnp.inf)
+        am = jnp.argmin(ent, axis=1)
+        bv = jnp.take_along_axis(ent, am[:, None], axis=1)[:, 0]
+        upd = bv < best
+        best = jnp.where(upd, bv, best)
+        bid = jnp.where(upd, jnp.int32(c0) + am.astype(jnp.int32), bid)
+    octant = ((dirn[:, 0] < 0).astype(jnp.uint32)
+              | ((dirn[:, 1] < 0).astype(jnp.uint32) << 1)
+              | ((dirn[:, 2] < 0).astype(jnp.uint32) << 2))
+    key = (bid.astype(jnp.uint32) << jnp.uint32(3)) | octant
+    perm = jnp.argsort(key)
+    inv = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return perm, inv
+
+
 def _next_group_keys(key, order):
     """(B, G) f32: for group g, the sorted slab-entry key of group
     g+1's first entry (the front-to-back bound the early exit compares
@@ -1655,7 +1701,11 @@ def _closest_fine_tcol(tri_pack10, pack16, org, dirn, tmin, tmax,
     sort = (not presorted) and n_sc >= SORT_MIN_CLUSTERS
     unperm = None
     if sort:
-        perm, unperm = _ray_sort_perm(org, dirn)
+        if _sort_mode() == "entry":
+            perm, unperm = _entry_sort_perm(org, dirn, tmin, tmax,
+                                            sub8p, n_sc)
+        else:
+            perm, unperm = _ray_sort_perm(org, dirn)
         ray_pack = jnp.concatenate(
             [org, dirn, tmin[:, None], tmax[:, None]], axis=1)[perm]
         org, dirn = ray_pack[:, 0:3], ray_pack[:, 3:6]
@@ -1710,7 +1760,12 @@ def _shadow_fine_lg(tri_pack10, pack16s, org, dirn, dist, n_tris: int,
     sort = (not presorted) and n_sc >= SORT_MIN_CLUSTERS
     unperm = None
     if sort:
-        perm, unperm = _ray_sort_perm(org, dirn)
+        if _sort_mode() == "entry":
+            perm, unperm = _entry_sort_perm(
+                org, dirn, jnp.full_like(dist, 5e-4),
+                dist * (1.0 - 1e-4) - 5e-4, sub8p, n_sc)
+        else:
+            perm, unperm = _ray_sort_perm(org, dirn)
         ray_pack = jnp.concatenate([org, dirn, dist[:, None]],
                                    axis=1)[perm]
         org, dirn, dist = (ray_pack[:, 0:3], ray_pack[:, 3:6],

@@ -304,18 +304,23 @@ def test_pallas_fine_path_matches_brute(monkeypatch):
                       e2=jnp.asarray(e2p))
         hb = closest_hit_brute(tris_p, org, d, tmin, chunk=128)
         m = np.asarray(hb.hit)
-        # k1=1 forces the two-round split at n_sc=18 (> 2*k1*FINE_GROUP)
-        for k1, ee in (("0", "1"), ("1", "1"), ("1", "0"), ("6", "1")):
+        # k1=1 forces the two-round split at n_sc=18 (> 2*k1*FINE_GROUP);
+        # the last two rows run the corridor-head ray sort (LIBYAF_SORT)
+        for k1, ee, srt in (("0", "1", "morton"), ("1", "1", "morton"),
+                            ("1", "0", "morton"), ("6", "1", "morton"),
+                            ("1", "1", "entry"), ("6", "1", "entry")):
             monkeypatch.setenv("LIBYAF_K1", k1)
             monkeypatch.setenv("LIBYAF_EE", ee)
+            monkeypatch.setenv("LIBYAF_SORT", srt)
             tc, tri, _, _, hit = pli.closest_hit_pallas(
                 jnp.asarray(pack), jnp.asarray(cl), org, d, tmin,
                 jnp.full((n,), jnp.inf), n_tris=t)
-            assert np.array_equal(np.asarray(hit), m), (k1, ee)
+            assert np.array_equal(np.asarray(hit), m), (k1, ee, srt)
             assert np.allclose(np.asarray(tc)[m], np.asarray(hb.t)[m],
-                               rtol=1e-4), (k1, ee)
+                               rtol=1e-4), (k1, ee, srt)
             assert np.array_equal(np.asarray(tri)[m],
-                                  np.asarray(hb.tri)[m]), (k1, ee)
+                                  np.asarray(hb.tri)[m]), (k1, ee, srt)
+        monkeypatch.setenv("LIBYAF_SORT", "morton")
 
         filt = (rng.random((t, 3)) * (rng.random((t, 1)) > 0.5)).astype(
             np.float32)
@@ -327,13 +332,14 @@ def test_pallas_fine_path_matches_brute(monkeypatch):
             [filt, np.zeros((v0p.shape[0] - t, 3), np.float32)])
         tr_b = shadow_transmission_brute(tris_p, jnp.asarray(filt_pad),
                                          org, d, dist, chunk=128)
-        for ee in ("1", "0"):
+        for ee, srt in (("1", "morton"), ("0", "morton"), ("1", "entry")):
             monkeypatch.setenv("LIBYAF_EE", ee)
+            monkeypatch.setenv("LIBYAF_SORT", srt)
             tr_p = pli.shadow_transmission_pallas(
                 jnp.asarray(pack), jnp.asarray(cl), filt4, org, d, dist,
                 n_tris=t)
             assert np.allclose(np.asarray(tr_p), np.asarray(tr_b),
-                               atol=2e-3), ee
+                               atol=2e-3), (ee, srt)
     finally:
         pli.INTERPRET = False
 
