@@ -13,15 +13,19 @@ config) pair that advances every pixel by one sample:
       splat into film planes (scatter-free, film/imagefilm.py)
 
 Everything is SoA over N = H·W lanes; dead lanes are masked, not compacted.
-This is a MEASURED design decision for this environment, not a deferral:
-stream compaction needs per-lane-count program shapes (or a family of
-padded bucket sizes), and every extra compiled program costs 100–300 s
-through the remote-compile tunnel — far more than masked-lane waste at the
-target depths (Cornell-class occupancy stays >60% through bounce 4, and
-adaptive-AA passes resample whole row-blocks anyway).  On an environment
-with local compilation the bucket-compaction variant becomes attractive;
-the sorting machinery it needs already exists (ops/pallas_intersect
-_ray_sort_perm).
+This is a MEASURED design decision (r4, scripts/probe_occupancy.py on
+cornell_path at raydepth 10, v5e): with production RR occupancy falls to
+17%/5%/1.7% entering bounces 3/5/6, BUT the marginal cost of a masked
+bounce is ~0.25 ms of a 4.8 ms raydepth-10 step (time-sweep bounces
+0..10: 2.35 -> 4.81 ms) because dead lanes' corridors collapse to empty
+cluster lists in the streaming intersect kernels and the leftover dense
+shading math is VPU-cheap.  Zero-cost compaction of everything past
+bounce 3 could reclaim <25% of a DEEP config's step (0% at the default
+raydepth-5 spacing), which is below the gather/scatter cost of
+compacting the ~36-float lane state each way every bounce — the
+occupancy question is closed by the marginal-cost bound, not deferred.
+(The adaptive-AA COMPACT passes are a different axis — whole-path lane
+sets shrink there, and that is implemented: make_sample_step(compact_n).)
 The emission double-count guard (reference `includeLights`, SURVEY App. D)
 is the `spec_mask`/`prev_pdf` pair: BSDF-sampled emission hits are MIS-
 weighted against the light-sample strategy unless the previous bounce was
