@@ -200,3 +200,98 @@ def test_exr_wav2_huf_units():
     for n, hi in ((1000, 40), (50000, 5000), (3, 1), (1, 1)):
         d = rng.integers(0, hi, n).astype(np.uint16)
         assert (_huf_decompress(_huf_compress(d), n) == d).all()
+
+
+# ---- tiled EXR (VERDICT r4 #7; libIlmImf reads tiled transparently) ----
+
+def test_exr_tiled_roundtrip_codecs(tmp_path):
+    """Single-level tiled write/read round-trip, edge tiles included
+    (70x53 image, 32x32 tiles -> ragged right/bottom tiles)."""
+    rng = np.random.default_rng(7)
+    img = rng.random((53, 70, 3)).astype(np.float32)
+    for comp in ("none", "zips", "pxr24", "piz"):
+        p = str(tmp_path / f"t_{comp}.exr")
+        write_exr_multilayer(p, {"": img}, compression=comp,
+                             tiles=(32, 32))
+        back = read_exr(p)
+        assert back.shape == img.shape
+        if comp == "pxr24":
+            assert np.max(np.abs(back - img)) < 2e-5
+        else:
+            assert np.array_equal(back, img)
+
+
+def test_exr_tiled_b44_halves(tmp_path):
+    """B44 tiles: smooth data must land on the float16 floor (same
+    criterion as the scanline B44 test)."""
+    y, x = np.mgrid[0:48, 0:64].astype(np.float32)
+    img = np.stack([0.5 + 0.3 * np.sin(x / 10), 1.5 + y / 40,
+                    2.0 + (x + y) / 60], -1).astype(np.float32)
+    half_floor = np.abs(img.astype(np.float16).astype(np.float32)
+                        - img).max()
+    p = str(tmp_path / "t_b44.exr")
+    write_exr_multilayer(p, {"": img}, compression="b44", tiles=(16, 16))
+    back = read_exr(p)
+    assert np.abs(back - img).max() <= half_floor + 1e-7
+
+
+def test_exr_tiled_multilayer(tmp_path):
+    rng = np.random.default_rng(3)
+    layers = {"": rng.random((40, 40, 3)).astype(np.float32),
+              "depth": rng.random((40, 40, 3)).astype(np.float32)}
+    p = str(tmp_path / "t_ml.exr")
+    write_exr_multilayer(p, layers, compression="zips", tiles=(17, 19))
+    back = read_exr_multilayer(p)
+    for k in layers:
+        assert np.array_equal(back[k], layers[k])
+
+
+def test_exr_tiled_mipmap_reads_level0(tmp_path):
+    """Hand-built MIPMAP tiled file (NONE compression): reader must
+    return the full-resolution level (0,0) and step past mip chunks."""
+    import struct as st
+
+    from libyafaray_tpu.io.exr import _attr, _channel_list
+
+    w = h = 8
+    lvl0 = np.arange(w * h, dtype=np.float32).reshape(h, w)
+    lvl1 = lvl0[::2, ::2] * 0 + 99.0  # decoy values at level 1
+    lvl2 = lvl0[::4, ::4] * 0 + 77.0
+    lvl3 = np.array([[55.0]], np.float32)
+    header = _attr(b"channels", b"chlist", _channel_list(["G"]))
+    header += _attr(b"compression", b"compression", b"\x00")
+    header += _attr(b"dataWindow", b"box2i",
+                    st.pack("<iiii", 0, 0, w - 1, h - 1))
+    header += _attr(b"displayWindow", b"box2i",
+                    st.pack("<iiii", 0, 0, w - 1, h - 1))
+    header += _attr(b"lineOrder", b"lineOrder", b"\x00")
+    header += _attr(b"pixelAspectRatio", b"float", st.pack("<f", 1.0))
+    header += _attr(b"screenWindowCenter", b"v2f",
+                    st.pack("<ff", 0.0, 0.0))
+    header += _attr(b"screenWindowWidth", b"float", st.pack("<f", 1.0))
+    header += _attr(b"tiles", b"tiledesc", st.pack("<IIB", 4, 4, 1))
+    header += b"\0"
+    chunks = []
+    for lev, arr in enumerate((lvl0, lvl1, lvl2, lvl3)):
+        lh, lw = arr.shape
+        for ty in range(0, lh, 4):
+            for tx in range(0, lw, 4):
+                body = arr[ty:ty + 4, tx:tx + 4].astype("<f4").tobytes()
+                chunks.append(st.pack("<iiiii", tx // 4, ty // 4,
+                                      lev, lev, len(body)) + body)
+    p = str(tmp_path / "mip.exr")
+    with open(p, "wb") as f:
+        f.write(st.pack("<I", 20000630))
+        f.write(st.pack("<I", 2 | 0x200))
+        f.write(header)
+        start = f.tell() + 8 * len(chunks)
+        offs, o = [], start
+        for c in chunks:
+            offs.append(o)
+            o += len(c)
+        f.write(st.pack(f"<{len(chunks)}Q", *offs))
+        for c in chunks:
+            f.write(c)
+    back = read_exr(p)
+    assert back.shape == (h, w, 1)
+    assert np.array_equal(back[..., 0], lvl0)
