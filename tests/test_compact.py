@@ -163,3 +163,43 @@ def test_variance_estimator_adaptive_render():
     # same physics: images agree to sampling noise
     d = float(np.sqrt(np.mean((r.image - ref.image) ** 2)))
     assert d < 0.08, d
+
+
+def test_render_compact_with_aov_passes_matches_dense(monkeypatch):
+    """r5 (VERDICT r4 #5): AOV planes no longer disable compaction —
+    the compact resample pass splats passes too, equal to dense."""
+    s = _scene(res=48, aa_passes=3, threshold=0.08)
+    s.render_params["render_passes"] = "z-depth-norm normal-smooth reflect"
+    c = s.compile()
+    cfg = build_config(s)
+    assert cfg.passes
+    monkeypatch.setenv("LIBYAF_COMPACT", "1")
+    r1 = render(c, cfg)
+    monkeypatch.setenv("LIBYAF_COMPACT", "0")
+    r0 = render(c, cfg)
+    assert np.array_equal(np.asarray(r1.film["nsamples"]),
+                          np.asarray(r0.film["nsamples"]))
+    assert np.allclose(r1.image, r0.image, atol=2e-5)
+    p1, p0 = r1.passes, r0.passes
+    assert set(p1) == set(p0) and len(p1) >= 3
+    for k in p0:
+        assert np.allclose(p1[k], p0[k], atol=3e-5), k
+
+
+def test_render_compact_sharded_matches_dense(monkeypatch):
+    """r5 (VERDICT r4 #5): compaction now runs under a device mesh —
+    the lane list shards over the mesh axis; film equals the
+    single-device dense render."""
+    from libyafaray_tpu.parallel.mesh import make_device_mesh
+
+    s = _scene(res=64, aa_passes=3, threshold=0.08)
+    c = s.compile()
+    cfg = build_config(s)
+    monkeypatch.setenv("LIBYAF_COMPACT", "0")
+    r0 = render(c, cfg)
+    monkeypatch.setenv("LIBYAF_COMPACT", "1")
+    mesh = make_device_mesh(8)
+    r8 = render(c, cfg, mesh=mesh)
+    assert np.array_equal(np.asarray(r8.film["nsamples"]),
+                          np.asarray(r0.film["nsamples"]))
+    assert np.allclose(r8.image, r0.image, atol=2e-5)
