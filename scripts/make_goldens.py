@@ -25,7 +25,7 @@ SIZE = 96
 SPP_PT = 256
 
 
-def main():
+def main(only: str = ""):
     import numpy as np
 
     from libyafaray_tpu.scene.xml_parser import parse_xml_file
@@ -51,6 +51,8 @@ def main():
     from libyafaray_tpu.integrators.sppm import render_sppm
 
     for name, over in configs.items():
+        if only and only != "cornell":
+            break
         s = parse_xml_file(os.path.join(_REPO, "scenes", "cornell.xml"))
         s.render_params["width"] = SIZE
         s.render_params["height"] = SIZE
@@ -72,6 +74,8 @@ def main():
               f"-> {path}", flush=True)
 
     imgs = {}
+    if only and only != "cornell":
+        configs = {}
     from libyafaray_tpu.io.exr import read_exr
     for name in configs:
         imgs[name] = read_exr(os.path.join(out_dir,
@@ -83,6 +87,32 @@ def main():
                 (imgs[names[i]] - imgs[names[j]]) ** 2)))
             print(f"RMSE {names[i]} vs {names[j]}: {rmse:.4f}", flush=True)
 
+    # r5 (VERDICT r4 #6): goldens for the remaining driver configs —
+    # ibl_spheres (environment/IBL, BASELINE config #5) and
+    # cornell_bidir — rendered through the session dispatch at each
+    # scene's OWN integrator, gated by tests/test_golden.py.
+    from libyafaray_tpu.scene.session import render_scene
+
+    extra = {"ibl_spheres": dict(aa_samples=192, aa_passes=1),
+             "cornell_bidir": dict(aa_samples=192, aa_passes=1)}
+    for name, over in extra.items():
+        if only and only not in (name, "extra"):
+            continue
+        s = parse_xml_file(os.path.join(_REPO, "scenes", f"{name}.xml"))
+        s.render_params["width"] = SIZE
+        s.render_params["height"] = SIZE
+        s.render_params["AA_minsamples"] = over["aa_samples"]
+        s.render_params["AA_passes"] = over["aa_passes"]
+        t0 = time.time()
+        res = render_scene(s)
+        img = np.asarray(res.image, np.float32)
+        path = os.path.join(out_dir, f"{name}.exr")
+        write_exr(path, img)
+        print(f"{name}: {time.time()-t0:.1f}s mean={img.mean():.4f} "
+              f"-> {path}", flush=True)
+
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    main(_sys.argv[1] if len(_sys.argv) > 1 else "")
