@@ -344,6 +344,50 @@ def test_pallas_fine_path_matches_brute(monkeypatch):
         pli.INTERPRET = False
 
 
+def test_pallas_rounds_path_matches_brute(monkeypatch):
+    """The r5 multi-round resorted fine path (LIBYAF_ROUNDS: capped
+    visits + per-ray frontier advance + survivor resort, uncapped final
+    round) must agree with brute force bit-for-bit across (rounds, cap)
+    including caps small enough that every round leaves survivors."""
+    from libyafaray_tpu.ops import pallas_intersect as pli
+
+    pli.INTERPRET = True
+    try:
+        rng = np.random.default_rng(13)
+        t = 2304  # n_sc=18 >= SORT_MIN_CLUSTERS=16 -> rounds dispatch
+        v0 = rng.uniform(-4, 4, (t, 3)).astype(np.float32)
+        e1 = rng.normal(0, 0.3, (t, 3)).astype(np.float32)
+        e2 = rng.normal(0, 0.3, (t, 3)).astype(np.float32)
+        order = pli.morton_order(v0, e1, e2)
+        pack, cl, _ = pli.build_tri_pack(v0, e1, e2, order)
+        assert pack.shape[1] // pli.SUB_BT >= pli.SORT_MIN_CLUSTERS
+        n = 256
+        org = jnp.asarray(rng.uniform(-5, 5, (n, 3)), jnp.float32)
+        d = rng.normal(size=(n, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        d = jnp.asarray(d, jnp.float32)
+        tmin = jnp.full((n,), 5e-5)
+        v0p, e1p, e2p, _ = pad_triangles(v0, e1, e2, 128)
+        tris_p = dict(v0=jnp.asarray(v0p), e1=jnp.asarray(e1p),
+                      e2=jnp.asarray(e2p))
+        hb = closest_hit_brute(tris_p, org, d, tmin, chunk=128)
+        m = np.asarray(hb.hit)
+        for rounds, cap in (("2", "1"), ("3", "1"), ("3", "4"),
+                            ("4", "2")):
+            monkeypatch.setenv("LIBYAF_ROUNDS", rounds)
+            monkeypatch.setenv("LIBYAF_RCAP", cap)
+            tc, tri, _, _, hit = pli.closest_hit_pallas(
+                jnp.asarray(pack), jnp.asarray(cl), org, d, tmin,
+                jnp.full((n,), jnp.inf), n_tris=t)
+            assert np.array_equal(np.asarray(hit), m), (rounds, cap)
+            assert np.allclose(np.asarray(tc)[m], np.asarray(hb.t)[m],
+                               rtol=1e-4), (rounds, cap)
+            assert np.array_equal(np.asarray(tri)[m],
+                                  np.asarray(hb.tri)[m]), (rounds, cap)
+    finally:
+        pli.INTERPRET = False
+
+
 def test_pallas_pairs_path_matches_brute(monkeypatch):
     """The r3 pair-granular path (per-ray cluster lists expanded into
     cluster-sorted pair slots; two capped rounds + the block-sweep
