@@ -320,6 +320,39 @@ def _sample_one_light(scene_arrays, static, li, ls, lrow, p, u1, u2):
     return _LIGHT_SAMPLERS[ls.ltype](lrow, p, u1, u2)
 
 
+def _make_mat_resolve(scene_arrays, static, sp):
+    """resolve callback for materials/blend.py child rows: re-applies
+    texture/node overrides to gathered composite-child rows per nesting
+    level (reference blendmat.cc delegates initBSDF to BOTH children, so
+    their shader stacks — incl. a nested blend's mapped blend_value —
+    evaluate at every hit).  Returns None when the scene's composites
+    have no textured children (SceneStatic.blend_child_textured): the
+    common case pays nothing.  Handles ns-tiled lane counts (the NEE
+    multi-sample path tiles lanes block-major via broadcast_to)."""
+    if not (static.has_blend
+            and getattr(static, "blend_child_textured", False)
+            and (static.textures
+                 or getattr(static, "node_programs", ()))):
+        return None
+    from ..textures.eval import apply_textures
+
+    base = sp["p"].shape[0]
+
+    def resolve(r):
+        n_lanes = r["mtype"].shape[0]
+        spr = sp
+        if n_lanes != base:
+            k = n_lanes // base
+            spr = {kk: (jnp.broadcast_to(v[None], (k,) + v.shape)
+                        .reshape((k * base,) + v.shape[1:])
+                        if hasattr(v, "shape") and v.shape[:1] == (base,)
+                        else v)
+                   for kk, v in sp.items()}
+        return apply_textures(scene_arrays, static, r, spr)
+
+    return resolve
+
+
 def _direct_lighting(scene_arrays, static, cfg, sp, row, wo, n_f,
                      s_idx, skey, bounce_dim, ns_scale=1,
                      mis_with_bsdf=True, alive=None):
@@ -340,6 +373,7 @@ def _direct_lighting(scene_arrays, static, cfg, sp, row, wo, n_f,
     sh_sum = jnp.zeros(sp["p"].shape[:1], jnp.float32)
     sh_cnt = 0
     nrays = 0
+    mat_resolve = _make_mat_resolve(scene_arrays, static, sp)
     dyn = not isinstance(bounce_dim, int)
     dim_u = bounce_dim + qmc.SLOT_LIGHT_U
     dim_v = bounce_dim + qmc.SLOT_LIGHT_V
@@ -375,7 +409,8 @@ def _direct_lighting(scene_arrays, static, cfg, sp, row, wo, n_f,
             f = blendmod.eval_bsdf(scene_arrays["materials"], row_,
                                    n_, ng_, wo_, smp["wi"],
                                    static.has_blend,
-                                   families=static.mat_families)
+                                   families=static.mat_families,
+                                   resolve=mat_resolve)
             contrib_w = jnp.abs(cos_i) / jnp.maximum(smp["pdf"], 1e-9)
             ok = smp["valid"] & (smp["pdf"] > 1e-9)
             if ls.cast_shadows:
@@ -395,7 +430,8 @@ def _direct_lighting(scene_arrays, static, cfg, sp, row, wo, n_f,
                 bpdf = blendmod.pdf_bsdf(scene_arrays["materials"],
                                          row_, n_, ng_, wo_,
                                          smp["wi"], static.has_blend,
-                                         families=static.mat_families)
+                                         families=static.mat_families,
+                                         resolve=mat_resolve)
                 w = power_heuristic(smp["pdf"], bpdf)
                 term = term * w[..., None]
             return jnp.where(ok[..., None], term, 0.0), _lum(tr)
@@ -659,8 +695,10 @@ def make_sample_step(static, camera, cfg: RenderConfig,
             sp = dict(sp, n=bump_normal(scene_arrays, static, row, sp))
 
         # ---- emission with MIS against NEE ----
+        mat_resolve = _make_mat_resolve(scene_arrays, static, sp)
         emit = blendmod.emission(mats, row, sp["ng"], wo,
-                                 static.has_blend)
+                                 static.has_blend,
+                                 resolve=mat_resolve)
         li_id = sp["light_id"]
         is_light_tri = li_id >= 0
         is_sphere_l = jnp.zeros((n,), jnp.bool_)
@@ -801,7 +839,8 @@ def make_sample_step(static, camera, cfg: RenderConfig,
         smp = blendmod.sample_bsdf(mats, row, n_sh, ng_sh, wo, u1, u2,
                                    ul, static.has_blend,
                                    wavelength=wavelength,
-                                   families=static.mat_families)
+                                   families=static.mat_families,
+                                   resolve=mat_resolve)
         wavelength = smp["new_wavelength"]
 
         if mode == "direct":

@@ -15,10 +15,15 @@ wrappers below gather the child rows and
 children, including other blends); the recursion unrolls 2^depth leaf
 evals for eval/pdf, so compile cost grows with real nesting only.
 The blend factor comes from row["blend_value"], which apply_textures has
-already overridden from the blend_shader slot when mapped (top-level
-material only — NESTED blends' factors are their static table values;
-shader-mapped factors below level 1 are a documented limitation);
-mask_mat thresholds the mask texture the same way.
+already overridden from the blend_shader/mask_shader slot when mapped.
+NESTED children (r5): when the scene compiler finds a textured
+composite child (SceneStatic.blend_child_textured), the engine passes a
+`resolve` callback — apply_textures closed over the lane surface points
+— and _child_rows re-resolves each gathered child row per nesting
+level, so shader-mapped blend factors (and any other textured child
+parameter) work at every depth, matching blendmat.cc's full delegation
+of initBSDF to both children.  Untextured scenes pass resolve=None and
+pay nothing.
 """
 from __future__ import annotations
 
@@ -41,39 +46,48 @@ def _is_composite(row):
     return (row["mtype"] == MT_BLEND) | (row["mtype"] == MT_MASK)
 
 
-def _child_rows(mats, row):
+def _child_rows(mats, row, resolve=None):
     m = mats["mtype"].shape[0]
     ra = gather_rows(mats, jnp.clip(row["sub_mat1"], 0, m - 1))
     rb = gather_rows(mats, jnp.clip(row["sub_mat2"], 0, m - 1))
+    if resolve is not None:
+        ra = resolve(ra)
+        rb = resolve(rb)
     return ra, rb
 
 
-def eval_bsdf(mats, row, n, ng, wo, wi, depth: int, families=None):
+def eval_bsdf(mats, row, n, ng, wo, wi, depth: int, families=None,
+              resolve=None):
     f = bsdf.eval_bsdf(row, n, ng, wo, wi, families=families)
     if not depth:
         return f
     comp = _is_composite(row)
-    ra, rb = _child_rows(mats, row)
+    ra, rb = _child_rows(mats, row, resolve)
     a = _blend_factor(row)[..., None]
-    fa = eval_bsdf(mats, ra, n, ng, wo, wi, depth - 1, families=families)
-    fb = eval_bsdf(mats, rb, n, ng, wo, wi, depth - 1, families=families)
+    fa = eval_bsdf(mats, ra, n, ng, wo, wi, depth - 1, families=families,
+                   resolve=resolve)
+    fb = eval_bsdf(mats, rb, n, ng, wo, wi, depth - 1, families=families,
+                   resolve=resolve)
     return jnp.where(comp[..., None], (1.0 - a) * fa + a * fb, f)
 
 
-def pdf_bsdf(mats, row, n, ng, wo, wi, depth: int, families=None):
+def pdf_bsdf(mats, row, n, ng, wo, wi, depth: int, families=None,
+             resolve=None):
     p = bsdf.pdf_bsdf(row, n, ng, wo, wi, families=families)
     if not depth:
         return p
     comp = _is_composite(row)
-    ra, rb = _child_rows(mats, row)
+    ra, rb = _child_rows(mats, row, resolve)
     a = _blend_factor(row)
-    pa = pdf_bsdf(mats, ra, n, ng, wo, wi, depth - 1, families=families)
-    pb = pdf_bsdf(mats, rb, n, ng, wo, wi, depth - 1, families=families)
+    pa = pdf_bsdf(mats, ra, n, ng, wo, wi, depth - 1, families=families,
+                  resolve=resolve)
+    pb = pdf_bsdf(mats, rb, n, ng, wo, wi, depth - 1, families=families,
+                  resolve=resolve)
     return jnp.where(comp, (1.0 - a) * pa + a * pb, p)
 
 
 def sample_bsdf(mats, row, n, ng, wo, u1, u2, u_lobe, depth: int,
-                wavelength=None, families=None):
+                wavelength=None, families=None, resolve=None):
     if not depth:
         return bsdf.sample_bsdf(row, n, ng, wo, u1, u2, u_lobe,
                                 wavelength=wavelength, families=families)
@@ -83,7 +97,7 @@ def sample_bsdf(mats, row, n, ng, wo, u1, u2, u_lobe, depth: int,
     cur = row
     for _ in range(depth):
         comp = _is_composite(cur)
-        ra, rb = _child_rows(mats, cur)
+        ra, rb = _child_rows(mats, cur, resolve)
         a = _blend_factor(cur)
         pick_b = u_lobe < a
         u_rem = jnp.where(pick_b,
@@ -106,19 +120,19 @@ def sample_bsdf(mats, row, n, ng, wo, u1, u2, u_lobe, depth: int,
     # recursive pdf expands nested children to the same leaf mixture the
     # descent above samples from)
     mix_pdf = pdf_bsdf(mats, row, n, ng, wo, out["wi"], depth,
-                       families=families)
+                       families=families, resolve=resolve)
     out["pdf"] = jnp.where(comp_top & ~out["specular"], mix_pdf,
                            out["pdf"])
     return out
 
 
-def emission(mats, row, ng, wo, depth: int):
+def emission(mats, row, ng, wo, depth: int, resolve=None):
     e = bsdf.emission(row, ng, wo)
     if not depth:
         return e
     comp = _is_composite(row)
-    ra, rb = _child_rows(mats, row)
+    ra, rb = _child_rows(mats, row, resolve)
     a = _blend_factor(row)[..., None]
-    ea = emission(mats, ra, ng, wo, depth - 1)
-    eb = emission(mats, rb, ng, wo, depth - 1)
+    ea = emission(mats, ra, ng, wo, depth - 1, resolve=resolve)
+    eb = emission(mats, rb, ng, wo, depth - 1, resolve=resolve)
     return jnp.where(comp[..., None], (1.0 - a) * ea + a * eb, e)

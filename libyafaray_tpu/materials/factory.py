@@ -198,7 +198,7 @@ def material_row_from_params(params: ParamMap, mat_name_to_id: dict,
         slot_refs = {k: params.get_str(k, "") for k in (
             "diffuse_shader", "glossy_shader", "mirror_color_shader",
             "transparency_shader", "translucency_shader", "blend_shader",
-            "sigma_oren_shader", "IOR_shader")}
+            "mask_shader", "sigma_oren_shader", "IOR_shader")}
         if any(slot_refs.values()):
             prog = parse_node_graph(params.get_list("__list__", []),
                                     tex_name_to_id, slot_refs)

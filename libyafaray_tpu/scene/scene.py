@@ -68,6 +68,9 @@ class SceneStatic:
     has_blend: int = 0  # max blend_mat/mask_mat NESTING depth in the
     # table (0 = none; 2 = a blend whose child is itself a blend).
     # Falsy when no composites exist, so boolean uses keep working.
+    blend_child_textured: bool = False  # some composite CHILD carries a
+    # texture slot / node program -> blend.py resolves child textures
+    # per nesting level (reference blendmat.cc delegates initBSDF)
     mat_families: tuple | None = None  # mtype codes present
     node_programs: tuple = ()  # compiled shader DAGs (textures/nodes.py)
     n_spheres: int = 0  # analytic sphere primitives
@@ -106,6 +109,37 @@ def _blend_depth(materials) -> int:
 
     return max((depth(i, frozenset()) for i in range(len(materials))),
                default=0)
+
+
+def _blend_child_textured(materials) -> bool:
+    """True when any material reachable as a composite CHILD carries a
+    texture slot or node program.  Gates per-level child texture
+    resolution in materials/blend.py: the reference blendmat.cc
+    delegates initBSDF to both children, so their shader stacks (incl. a
+    nested blend's own mapped blend_value) evaluate per hit — here that
+    costs extra per-lane texture evals, so scenes without textured
+    composite children skip it statically."""
+    tex_cols = ("tex_diffuse", "tex_glossy", "tex_mirror",
+                "tex_transparency", "tex_translucency", "tex_blend",
+                "tex_mask", "tex_sigma_oren", "tex_ior", "node_prog")
+    stack = []
+    for r in materials:
+        if r["mtype"] in (6, 7):
+            stack += [int(r.get("sub_mat1", -1)),
+                      int(r.get("sub_mat2", -1))]
+    seen = set()
+    while stack:
+        i = stack.pop()
+        if i < 0 or i >= len(materials) or i in seen:
+            continue
+        seen.add(i)
+        r = materials[i]
+        if any(int(r.get(c, -1)) >= 0 for c in tex_cols):
+            return True
+        if r["mtype"] in (6, 7):
+            stack += [int(r.get("sub_mat1", -1)),
+                      int(r.get("sub_mat2", -1))]
+    return False
 
 
 class Scene:
@@ -752,6 +786,7 @@ class Scene:
                 for i in range(len(self.textures))),
             node_programs=tuple(self.node_programs),
             has_blend=_blend_depth(self.materials),
+            blend_child_textured=_blend_child_textured(self.materials),
             mat_families=tuple(sorted(
                 {r["mtype"] for r in self.materials})),
             n_spheres=len(self.analytic_spheres),

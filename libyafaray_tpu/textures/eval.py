@@ -447,6 +447,10 @@ def apply_textures(scene_arrays, static, row, sp):
     slots_scalar = (("tex_transparency", "transparency"),
                     ("tex_translucency", "translucency"),
                     ("tex_blend", "blend_value"),
+                    # mask_mat's mask texture: its value IS the per-lane
+                    # blend_value that _blend_factor thresholds
+                    # (reference maskmat.cc)
+                    ("tex_mask", "blend_value"),
                     ("tex_sigma_oren", "sigma"),
                     # IOR_shader (reference shinydiff [M]): the shader's
                     # scalar value IS the per-lane fresnel IOR
@@ -483,6 +487,7 @@ def apply_textures(scene_arrays, static, row, sp):
             "transparency_shader": ("transparency", True),
             "translucency_shader": ("translucency", True),
             "blend_shader": ("blend_value", True),
+            "mask_shader": ("blend_value", True),
             "sigma_oren_shader": ("sigma", True),
             "IOR_shader": ("ior", True),
         }

@@ -69,6 +69,11 @@ def main():
                     os.environ["LIBYAF_RCAP"] = cap
                 else:
                     os.environ["LIBYAF_ROUNDS"] = "0"
+                # env knobs are read at TRACE time, and the module-level
+                # jit CACHES traces by abstract args — without this the
+                # first variant's executable silently serves every
+                # later variant (identical-timing tell)
+                pli.closest_hit_pallas.clear_cache()
 
                 def f_closest(o, d):
                     t, tri, u, v, h = pli.closest_hit_pallas(

@@ -63,6 +63,10 @@ def main():
             dist = jnp.full((args.nrays,), 25.0, jnp.float32)
             for srt in args.sorts.split(","):
                 os.environ["LIBYAF_SORT"] = srt
+                # see bench_rounds.py: the module-level jit caches the
+                # first sort mode's trace — clear or the A/B is void
+                pli.closest_hit_pallas.clear_cache()
+                pli.shadow_transmission_pallas.clear_cache()
 
                 def f_closest(o, d):
                     t, tri, u, v, h = pli.closest_hit_pallas(
