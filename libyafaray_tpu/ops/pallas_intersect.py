@@ -1532,12 +1532,21 @@ def _fine_block_keys(org, dirn, tmin, tmax, table, bq: int, ch: int = 32):
     iv = _inv_dir(dirn).reshape(b, bq, 3)
     tmin_b = tmin.reshape(b, bq)
     tmax_b = tmax.reshape(b, bq)
-    lo = table[0:3].T
-    hi = table[3:6].T
-    keys = []
-    for c0 in range(0, n_sc, ch):
-        loc = lo[c0:c0 + ch]
-        hic = hi[c0:c0 + ch]
+    nch = -(-n_sc // ch)
+    padc = nch * ch - n_sc
+    # fori_loop (not an unrolled Python loop): at 4096 sub-clusters the
+    # unrolled form's 128 chunk iterations OOM'd HBM — XLA scheduled
+    # their (B, bq, ch, 3) temps with overlapping lifetimes.  Pad
+    # clusters carry a (+inf, +inf) box (entry inf/NaN in every octant,
+    # masked by enter<=exit), sliced off on return.
+    lo = jnp.pad(table[0:3].T, ((0, padc), (0, 0)),
+                 constant_values=jnp.inf).reshape(nch, ch, 3)
+    hi = jnp.pad(table[3:6].T, ((0, padc), (0, 0)),
+                 constant_values=jnp.inf).reshape(nch, ch, 3)
+
+    def body(c, keys):
+        loc = jax.lax.dynamic_index_in_dim(lo, c, keepdims=False)
+        hic = jax.lax.dynamic_index_in_dim(hi, c, keepdims=False)
         t0 = (loc[None, None] - o[:, :, None]) * iv[:, :, None]
         t1 = (hic[None, None] - o[:, :, None]) * iv[:, :, None]
         enter = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1),
@@ -1545,8 +1554,12 @@ def _fine_block_keys(org, dirn, tmin, tmax, table, bq: int, ch: int = 32):
         exit_ = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=-1),
                             tmax_b[..., None])
         hit = enter <= exit_
-        keys.append(jnp.min(jnp.where(hit, enter, jnp.inf), axis=1))
-    return jnp.concatenate(keys, axis=1)
+        kc = jnp.min(jnp.where(hit, enter, jnp.inf), axis=1)
+        return jax.lax.dynamic_update_slice(keys, kc, (0, c * ch))
+
+    keys = jax.lax.fori_loop(
+        0, nch, body, jnp.full((b, nch * ch), jnp.inf, jnp.float32))
+    return keys[:, :n_sc]
 
 
 def _order_from_fine_keys(key):
@@ -1601,18 +1614,29 @@ def _sort_mode() -> str:
 
 def _entry_sort_perm(org, dirn, tmin, tmax, sub8p, n_sc: int,
                      ch: int = 64):
-    """Corridor-head ray ordering (see _sort_mode).  Chunked running
-    argmin over the fine AABB table bounds the (N, ch) temporaries.
-    Misses (no cluster entered) sort to the tail.  Returns (perm, inv)."""
+    """Corridor-head ray ordering (see _sort_mode).  A fori_loop running
+    argmin over ch-cluster slices of the fine AABB table bounds BOTH the
+    (N, ch) temporaries' live set and the trace size — the r5 unrolled
+    variant OOM'd HBM at 4096 sub-clusters (XLA overlapped the 64
+    chunk iterations' 64 MB temps under remat).  Pad clusters carry a
+    (+inf, +inf) box: their slab entry is +inf or NaN in every octant,
+    so the enter<=exit mask sends them to the inf tail.  Misses (no
+    cluster entered) sort to the tail.  Returns (perm, inv)."""
     n = org.shape[0]
     iv = _inv_dir(dirn)
-    lo = sub8p[0:3, :n_sc].T
-    hi = sub8p[3:6, :n_sc].T
-    best = jnp.full((n,), jnp.inf, jnp.float32)
-    bid = jnp.full((n,), n_sc, jnp.int32)
-    for c0 in range(0, n_sc, ch):
-        t0 = (lo[None, c0:c0 + ch] - org[:, None]) * iv[:, None]
-        t1 = (hi[None, c0:c0 + ch] - org[:, None]) * iv[:, None]
+    nch = -(-n_sc // ch)
+    padc = nch * ch - n_sc
+    lo = jnp.pad(sub8p[0:3, :n_sc].T, ((0, padc), (0, 0)),
+                 constant_values=jnp.inf).reshape(nch, ch, 3)
+    hi = jnp.pad(sub8p[3:6, :n_sc].T, ((0, padc), (0, 0)),
+                 constant_values=jnp.inf).reshape(nch, ch, 3)
+
+    def body(c, carry):
+        best, bid = carry
+        loc = jax.lax.dynamic_index_in_dim(lo, c, keepdims=False)
+        hic = jax.lax.dynamic_index_in_dim(hi, c, keepdims=False)
+        t0 = (loc[None] - org[:, None]) * iv[:, None]
+        t1 = (hic[None] - org[:, None]) * iv[:, None]
         ent = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1),
                           tmin[:, None])
         ext = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=-1),
@@ -1622,7 +1646,14 @@ def _entry_sort_perm(org, dirn, tmin, tmax, sub8p, n_sc: int,
         bv = jnp.take_along_axis(ent, am[:, None], axis=1)[:, 0]
         upd = bv < best
         best = jnp.where(upd, bv, best)
-        bid = jnp.where(upd, jnp.int32(c0) + am.astype(jnp.int32), bid)
+        bid = jnp.where(upd, c * ch + am.astype(jnp.int32), bid)
+        return best, bid
+
+    best, bid = jax.lax.fori_loop(
+        0, nch, body,
+        (jnp.full((n,), jnp.inf, jnp.float32),
+         jnp.full((n,), n_sc, jnp.int32)))
+    bid = jnp.where(jnp.isfinite(best), bid, n_sc)
     octant = ((dirn[:, 0] < 0).astype(jnp.uint32)
               | ((dirn[:, 1] < 0).astype(jnp.uint32) << 1)
               | ((dirn[:, 2] < 0).astype(jnp.uint32) << 2))

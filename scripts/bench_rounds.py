@@ -98,9 +98,9 @@ def main():
                            agree=agree)
                 results.append(row)
                 print(json.dumps(row), flush=True)
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump(results, f, indent=1)
+                if args.out:  # incremental: crashes keep earlier rows
+                    with open(args.out, "a") as f:
+                        f.write(json.dumps(row) + "\n")
 
 
 if __name__ == "__main__":
