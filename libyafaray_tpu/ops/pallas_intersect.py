@@ -1613,7 +1613,7 @@ def _sort_mode() -> str:
 
 
 def _entry_sort_perm(org, dirn, tmin, tmax, sub8p, n_sc: int,
-                     ch: int = 64):
+                     ch: int = 256):
     """Corridor-head ray ordering (see _sort_mode).  A fori_loop running
     argmin over ch-cluster slices of the fine AABB table bounds BOTH the
     (N, ch) temporaries' live set and the trace size — the r5 unrolled
