@@ -1,6 +1,7 @@
 """Per-pass AA sample-multiplier factors (reference imagefilm
 AA_sample_multiplier_factor / AA_light_sample_multiplier_factor /
 AA_indirect_sample_multiplier_factor — VERDICT r2 missing #6)."""
+import pytest
 import numpy as np
 
 from libyafaray_tpu.integrators.config import RenderConfig, \
@@ -45,6 +46,7 @@ def _tiny_scene():
     return sc
 
 
+@pytest.mark.slow
 def test_render_with_multipliers_runs_and_adds_samples():
     from libyafaray_tpu.integrators.render import render
 

@@ -94,6 +94,7 @@ def _center_border(a):
     return center, border
 
 
+@pytest.mark.slow
 def test_alpha_opaque_vs_background():
     res = render_scene(parse_xml_string(_scene_xml(OPAQUE, spp=4)))
     a = res.alpha
@@ -106,6 +107,7 @@ def test_alpha_opaque_vs_background():
     assert img[:2, :2].mean() > 0.05
 
 
+@pytest.mark.slow
 def test_no_alpha_without_bg_transp():
     xml = _scene_xml(OPAQUE, spp=2).replace(
         '<bg_transp bval="true"/>', "")
@@ -113,6 +115,7 @@ def test_no_alpha_without_bg_transp():
     assert res.alpha is None
 
 
+@pytest.mark.slow
 def test_fractional_alpha_semi_transparent():
     # transparency 0.6 -> expected coverage ~0.4 (MC over spp)
     res = render_scene(parse_xml_string(_scene_xml(SEMI, spp=64)))
@@ -123,6 +126,7 @@ def test_fractional_alpha_semi_transparent():
 
 @pytest.mark.parametrize("refract_flag,expect_low", [(False, False),
                                                      (True, True)])
+@pytest.mark.slow
 def test_glass_refract_alpha(refract_flag, expect_low):
     extra = ('<bg_transp_refract bval="true"/>' if refract_flag else "")
     res = render_scene(parse_xml_string(_scene_xml(GLASS, extra, spp=32)))

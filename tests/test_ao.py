@@ -1,5 +1,6 @@
 """Ambient occlusion (reference sampleAmbientOcclusion, SURVEY §2.10):
 batched occlusion rays darken concave geometry and scale with AO color."""
+import pytest
 import numpy as np
 
 from libyafaray_tpu.scene.params import ParamMap
@@ -33,6 +34,7 @@ def _corner_scene():
     return sc
 
 
+@pytest.mark.slow
 def test_ao_darkens_crease():
     from dataclasses import replace
 

@@ -4,6 +4,7 @@ set must reproduce the dense masked pass exactly — same QMC streams
 (per-pixel hash + nsamples-derived sample indices), same filter
 footprints — so the films agree.  Reference: imagefilm.cc resamples
 only flagged pixels (SURVEY §2.11)."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -51,6 +52,7 @@ def _scene(res=32, aa_passes=1, threshold=0.05):
     return s
 
 
+@pytest.mark.slow
 def test_compact_step_equals_dense_masked_step():
     s = _scene()
     c = s.compile()
@@ -100,6 +102,7 @@ def test_compact_step_equals_dense_masked_step():
     assert float(film_d["rays"]) == float(film_c["rays"])
 
 
+@pytest.mark.slow
 def test_render_compact_pass_matches_dense(monkeypatch):
     """End-to-end: an adaptive render whose resample passes go compact
     must produce the same film as the dense-masked fallback."""
@@ -135,6 +138,7 @@ def test_film_stderr_math():
     assert np.allclose(got, want, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_variance_estimator_adaptive_render():
     """AA_estimator=variance: the stderr-driven adaptive render unflags
     converged pixels (sample counts become nonuniform) and agrees with
@@ -165,6 +169,7 @@ def test_variance_estimator_adaptive_render():
     assert d < 0.08, d
 
 
+@pytest.mark.slow
 def test_render_compact_with_aov_passes_matches_dense(monkeypatch):
     """r5 (VERDICT r4 #5): AOV planes no longer disable compaction —
     the compact resample pass splats passes too, equal to dense."""
@@ -186,6 +191,7 @@ def test_render_compact_with_aov_passes_matches_dense(monkeypatch):
         assert np.allclose(p1[k], p0[k], atol=3e-5), k
 
 
+@pytest.mark.slow
 def test_render_compact_sharded_matches_dense(monkeypatch):
     """r5 (VERDICT r4 #5): compaction now runs under a device mesh —
     the lane list shards over the mesh axis; film equals the

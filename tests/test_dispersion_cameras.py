@@ -1,6 +1,7 @@
 """Glass dispersion + non-perspective cameras + bokeh shapes (the
 untested paths VERDICT r2 Weak #7 lists: nothing exercised dispersion,
 architect/angular/equirectangular cameras, or bokeh warps)."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -21,6 +22,7 @@ def _glass_row(n, dispersion=0.01):
     return gather_rows(table, jnp.zeros((n,), jnp.int32))
 
 
+@pytest.mark.slow
 def test_glass_dispersion_samples_wavelengths_and_spreads():
     """Chromatic lanes through dispersive glass: a wavelength is sampled,
     the refracted angle varies with it (Cauchy), and the wl->RGB weights

@@ -35,6 +35,7 @@ def test_compile(cornell_scene):
     assert cs.static.lights[0].intersectable
 
 
+@pytest.mark.slow
 def test_render_small(cornell_scene):
     """Low-res, low-spp render: image is sane (lit, colored walls, light
     panel brightest)."""

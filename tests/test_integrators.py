@@ -11,6 +11,8 @@ from libyafaray_tpu.integrators.config import RenderConfig
 from libyafaray_tpu.integrators.render import render
 
 
+pytestmark = pytest.mark.slow  # full engine renders (compile-heavy); quick tier skips
+
 def _sphere_scene(mat_params, bg_params, res=24):
     s = Scene()
     s.create_material("m", ParamMap(mat_params))

@@ -89,6 +89,7 @@ def test_two_process_render_matches_single_process(tmp_path):
     assert np.allclose(ref["rays"], got["rays"], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_render_sharded_global_single_process():
     """The multihost-safe path must also run (and match render_sharded)
     in an ordinary single-process session — it is the same program."""

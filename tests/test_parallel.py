@@ -32,6 +32,7 @@ def test_mesh_available():
     assert len(jax.devices()) >= 8
 
 
+@pytest.mark.slow
 def test_sharded_render_matches_single_device(small_scene):
     from libyafaray_tpu.parallel.mesh import make_device_mesh, render_sharded
     from libyafaray_tpu.integrators.engine import make_sample_step
@@ -62,6 +63,7 @@ def test_sharded_render_matches_single_device(small_scene):
     assert abs(float(film8["rays"]) - float(film["rays"])) < 1.0
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import sys
 
@@ -71,6 +73,7 @@ def test_graft_dryrun_multichip():
     __graft_entry__.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_sharded_photonmap_matches_single_device():
     """Photon transport across the mesh (SURVEY §5.8): lane-sharded
     shooting + replicated packs + film-sharded shading must equal the
@@ -96,6 +99,7 @@ def test_sharded_photonmap_matches_single_device():
     assert np.allclose(img1, img8, atol=1e-4), np.abs(img1 - img8).max()
 
 
+@pytest.mark.slow
 def test_sharded_sppm_matches_single_device():
     from libyafaray_tpu.scene.xml_parser import parse_xml_file
     from libyafaray_tpu.scene.session import build_config

@@ -18,6 +18,8 @@ ALL_PASSES = (
 )
 
 
+pytestmark = pytest.mark.slow  # full engine renders (compile-heavy); quick tier skips
+
 @pytest.fixture(scope="module")
 def cornell_passes():
     from libyafaray_tpu.scene.xml_parser import parse_xml_file

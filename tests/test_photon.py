@@ -136,6 +136,7 @@ def cornell():
     return s
 
 
+@pytest.mark.slow
 def test_photon_shoot_stores_on_walls(cornell):
     from libyafaray_tpu.integrators.photon_shoot import make_photon_pass, \
         light_flux
@@ -162,6 +163,7 @@ def test_photon_shoot_stores_on_walls(cornell):
     assert abs(np.mean(pw.mean(axis=-1)) / total - 1.0) < 0.5
 
 
+@pytest.mark.slow
 def test_photonmap_render_smoke(cornell):
     from libyafaray_tpu.integrators.photonmap import render_photonmap
     from libyafaray_tpu.scene.session import build_config
@@ -182,6 +184,7 @@ def test_photonmap_render_smoke(cornell):
     assert top > 0.001, top
 
 
+@pytest.mark.slow
 def test_sppm_render_smoke(cornell):
     from libyafaray_tpu.integrators.sppm import render_sppm
     from libyafaray_tpu.scene.session import build_config

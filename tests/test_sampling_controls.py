@@ -1,6 +1,7 @@
 """Per-material sampling controls + camera knobs (reference material.h
 additionalDepth/samplingFactor [M], angularCamera mirrored/max_angle,
 shinydiff IOR_shader [M])."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -9,6 +10,8 @@ from libyafaray_tpu.scene.params import ParamMap
 from libyafaray_tpu.scene.session import build_config
 from libyafaray_tpu.integrators.render import render
 
+
+pytestmark = pytest.mark.slow  # full engine renders (compile-heavy); quick tier skips
 
 def _corridor_scene(additional_depth: int, res=8):
     """Camera behind a stack of 3 fully transparent quads, bright constant

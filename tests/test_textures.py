@@ -75,6 +75,7 @@ def test_shader_node_resolution_to_texture_slot():
     assert s.texture_mappers[0][2] == (2.0, 2.0, 2.0)
 
 
+@pytest.mark.slow
 def test_textured_material_renders():
     """End-to-end: checker-ish procedural texture drives the floor color."""
     from libyafaray_tpu.scene.session import render_scene
@@ -162,6 +163,7 @@ def test_image_window_crop_clip_checker():
     assert c[0].max() >= 0.0 and np.allclose(c[1], 0.0), c
 
 
+@pytest.mark.slow
 def test_ramp_through_scene_compile():
     """use_color_ramp on a texture flows through Scene.compile into the
     static spec and renders finite."""
@@ -257,6 +259,7 @@ def test_mip_atlas_and_trilinear():
                        img.mean(axis=(0, 1)), atol=5e-2)
 
 
+@pytest.mark.slow
 def test_mipmap_lod_selection_in_scene():
     """A mipmap-enabled textured floor seen at increasing distance reads
     coarser mip levels: with a checker texture whose global mean is gray,
@@ -539,6 +542,7 @@ def test_perlin_noise_canonical_invariants():
     assert np.allclose(c1, c2)  # same cell -> same value
 
 
+@pytest.mark.slow
 def test_noise_basis_threading_through_textures():
     """noise_type reaches clouds/musgrave/distorted evaluation: bases
     give different fields, all bounded."""

@@ -12,6 +12,8 @@ from libyafaray_tpu.scene.params import ParamMap
 from libyafaray_tpu.scene.scene import Scene
 
 
+pytestmark = pytest.mark.slow  # full engine renders (compile-heavy); quick tier skips
+
 def _scene(integrator, extra_mats=(), sphere_mat=None,
            power=8.0, res=32, spp=8, lights=None):
     """lights: None -> the default area light; otherwise a list of

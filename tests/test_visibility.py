@@ -14,6 +14,8 @@ from libyafaray_tpu.scene.xml_parser import parse_xml_string
 from libyafaray_tpu.scene.session import render_scene
 
 
+pytestmark = pytest.mark.slow  # full engine renders (compile-heavy); quick tier skips
+
 def _scene_xml(visibility: str) -> str:
     vis = f' visibility="{visibility}"' if visibility != "normal" else ""
     # floor at z=0, occluder quad at z=2 (in view), pointlight at z=4

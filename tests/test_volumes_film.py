@@ -71,6 +71,7 @@ def test_grid_volume_df3_roundtrip(tmp_path):
     assert dens[2] == 0.0  # outside
 
 
+@pytest.mark.slow
 def test_volume_render_darkens_background():
     """A absorbing slab in front of a bright background dims it through the
     CLI-equivalent render path (EmissionIntegrator with l_e=0)."""
@@ -132,6 +133,7 @@ def test_film_save_load_resume(tmp_path):
     assert film_load(path, {"cfg": "Y"}) is None
 
 
+@pytest.mark.slow
 def test_pathtracer_caustic_map_smoke():
     """caustic_type=photon builds a caustic map and renders (glass sphere
     over a floor under a point light)."""
@@ -194,6 +196,7 @@ def _scatter_scene(vol_params, vol_integ_params):
     return s
 
 
+@pytest.mark.slow
 def test_sky_volume_scatters_light():
     """SkyVolume (exp-height density, Rayleigh/Mie phase) in-scatters the
     point light -> visible glow against a black background."""
@@ -219,6 +222,7 @@ def test_sky_volume_scatters_light():
     assert lo[0] > 2.0 * hi[0], (lo, hi)
 
 
+@pytest.mark.slow
 def test_single_scatter_optimize_grid_matches_exact():
     """`optimize` (attenuation-grid precompute) vs exact per-step shadow
     rays: same scene, close images (reference attenuationGridMap)."""
