@@ -226,10 +226,12 @@ def _mt_tile_mxu(tri_ref, org_ref, dir_ref, ctr):
         t·det = o'·n - v0'·n
 
     with o' = o - ctr, v0' = v0 - ctr (cluster-center translation keeps
-    the cross-product magnitudes at cluster scale — the matmul runs in
-    bf16-decomposed f32 and the triple products cancel).  Four
-    (BQ,16)x(16,BT) dots replace ~45 VPU ops/pair with ~12 (epilogue)
-    plus MXU work at ~100x VPU throughput.
+    the cross-product magnitudes at cluster scale — the triple products
+    cancel).  Four (BQ,16)x(16,BT) dots replace ~45 VPU ops/pair with
+    ~12 (epilogue) plus MXU work at ~100x VPU throughput.  r5: dots run
+    at Precision.HIGHEST (6-pass bf16 decomposition ~ f32) — the r2
+    default-precision trial's 0.7% wrong hits were bf16 rounding of the
+    bilinear forms, not a formulation error.
     Returns (t, u, v, ok) like _mt_tile."""
     f32 = jnp.float32
     ox = org_ref[:, 0:1] - ctr[0]
@@ -268,7 +270,8 @@ def _mt_tile_mxu(tri_ref, org_ref, dir_ref, ctr):
 
     dot = lambda g: jax.lax.dot_general(
         F, g, (((1,), (0,)), ((), ())),
-        preferred_element_type=f32)
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)
     det = dot(G([-nx, -ny, -nz]))
     u_num = dot(G([w2x, w2y, w2z, e2x, e2y, e2z]))
     v_num = -dot(G([w1x, w1y, w1z, e1x, e1y, e1z]))
@@ -964,7 +967,17 @@ def _closest_kernel_fine(order_hbm, nk_hbm, count_ref, init_t, init_c,
         ids = _fine_group_ids(ord_smem, sub, cnt, g, pad_id)
 
         def mt_tile():
-            t, u, v, ok = _mt_tile(tri_buf[slot], org_ref, dir_ref)
+            if MXU_MT:
+                # ids[0] is always real (groups only run while
+                # g*FINE_GROUP < cnt), so its box center is finite —
+                # pad boxes are inverted (inf, -inf) and would NaN
+                ctr = tuple(0.5 * (sub_ref[a, ids[0]]
+                                   + sub_ref[a + 3, ids[0]])
+                            for a in range(3))
+                t, u, v, ok = _mt_tile_mxu(tri_buf[slot], org_ref,
+                                           dir_ref, ctr)
+            else:
+                t, u, v, ok = _mt_tile(tri_buf[slot], org_ref, dir_ref)
             ok = ok & (t > tmin) & (t < tmax)
             t_ok = jnp.where(ok, t, jnp.inf)
             tile_min = jnp.min(t_ok, axis=1, keepdims=True)
